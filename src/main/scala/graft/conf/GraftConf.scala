@@ -1,0 +1,43 @@
+package graft.conf
+
+/** Engine configuration — the runtime replacement for the reference's
+  * compile-time template instantiation (`HashCollection<Transformer, Hash,
+  * Index, MAT>`, `/root/reference/hashIndex/HashCollection.h:21-22`, and the
+  * SIKH/PCARR/LSHFOREST compile flags). One engine, one config case class;
+  * every pseudo-random draw anywhere derives from `seed`.
+  *
+  * MinHash banding is the dedup reading of the reference's L-tables × b-bits
+  * collection: `bands` ↔ tables, `rows` ↔ bits per table (SURVEY §7.0).
+  */
+final case class GraftConf(
+    seed: Long = 42L,
+    // transcript shingling + MinHash banding
+    textShingleK: Int = 3,
+    textBands: Int = 16,
+    textRows: Int = 4,
+    // audio shingling + MinHash banding
+    audioShingleK: Int = 4,
+    audioBands: Int = 16,
+    audioRows: Int = 4,
+    // SimHash
+    simhashBits: Int = 60,
+    simhashBands: Int = 4,
+    simhashMaxHamming: Int = 8,
+    // verification thresholds (exact Jaccard on shingle sets, operator Q7)
+    textJaccardThreshold: Double = 0.7,
+    audioJaccardThreshold: Double = 0.6,
+    // substring pass: seed-window width in tokens
+    substringWindow: Int = 10,
+    // skew: max bucket size before salted chain-pair fallback (SURVEY §7.4)
+    bucketCap: Int = 512,
+    chainWidth: Int = 2,
+    // connected components
+    maxCcIterations: Int = 50,
+    // checkpointing
+    checkpointDir: Option[String] = None
+) {
+  def textNumPerm: Int = textBands * textRows
+  def audioNumPerm: Int = audioBands * audioRows
+  require(simhashBits % simhashBands == 0, "simhash bands must divide bits")
+  def simhashBandBits: Int = simhashBits / simhashBands
+}

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.conf.GraftConf
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Band shuffle → candidate pairs (reference operators B1/B2 + Q4).
+  *
+  * The reference materializes per-table hash buckets (CSR scatter,
+  * `/root/reference/hashIndex/StdHashIndex.h:31-74`) and probes them per
+  * query; for all-pairs dedup the bucket directory is never materialized —
+  * the `groupBy(band_key)` shuffle IS the hash table, and each group emits
+  * its member pairs directly (SURVEY §2.4/§7.4).
+  *
+  * Skew (the 10^12-scale hazard the single-node reference never faced): a
+  * bucket of size s emits O(s²) pairs; a hot key (e.g. empty-transcript
+  * signature) would explode. Buckets over `bucketCap` fall back to
+  * chain-pairing over id-sorted members (each member paired with its next
+  * `chainWidth` neighbors): O(s) pairs that keep the bucket connected, which
+  * preserves CLUSTER correctness for true duplicate groups (dup relations
+  * within a bucket of true dups are transitive through verification) while
+  * bounding blowup. Capped buckets are flagged (`capped`), never silently
+  * dropped, and surface in stage lineage.
+  */
+object CandidatePairs {
+
+  /** bands: (src: String, band_key: Long, clip_id: String) →
+    * pairs: (a, b, src, capped) with a < b, distinct per src. */
+  def fromBands(spark: SparkSession, bands: DataFrame, conf: GraftConf): DataFrame = {
+    import spark.implicits._
+    val cap = conf.bucketCap
+    val width = conf.chainWidth
+    val hardStop = 4 * 1000 * 1000 // absolute group-buffer safety bound
+    bands
+      .select($"src", $"band_key", $"clip_id")
+      .as[(String, Long, String)]
+      .groupByKey { case (src, key, _) => (src, key) }
+      .flatMapGroups { (key: (String, Long), rows: Iterator[(String, Long, String)]) =>
+        val src = key._1
+        val ids = new ArrayBuffer[String]()
+        var n = 0
+        while (rows.hasNext && n < hardStop) { ids += rows.next()._3; n += 1 }
+        if (ids.length < 2) Iterator.empty
+        else {
+          val sorted = ids.distinct.sorted
+          if (sorted.length < 2) Iterator.empty
+          else if (sorted.length <= cap) {
+            for {
+              i <- sorted.indices.iterator
+              j <- (i + 1) until sorted.length
+            } yield (sorted(i), sorted(j), src, false)
+          } else {
+            for {
+              i <- sorted.indices.iterator
+              d <- (1 to width).iterator
+              if i + d < sorted.length
+            } yield (sorted(i), sorted(i + d), src, true)
+          }
+        }
+      }
+      .toDF("a", "b", "src", "capped")
+      .groupBy($"a", $"b")
+      .agg(collect_set($"src").as("sources"), max($"capped").as("capped"))
+  }
+}

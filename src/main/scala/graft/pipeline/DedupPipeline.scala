@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.conf.GraftConf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end near-duplicate detection + clustering over the input_hint
+  * table (clip_id, bytes, sr_hz, dur_ms, codec, transcript) — the graft of
+  * the reference's LSH capabilities onto a web-scale dedup pipeline:
+  *
+  *   decode + signatures (batched kernel, SURVEY §7.2)
+  *   → band explode (L tables ↔ bands, §7.0)
+  *   → band-key shuffle → candidate pairs with skew capping (§7.4)
+  *   ∪ exact-substring seed candidates (§7.5)
+  *   → exact verification (Q7)
+  *   → connected components (§7.6)
+  *   → (clip_id, cluster_id)
+  *
+  * Every stage is checkpointable (Parquet + manifest) and reports rows /
+  * wall-clock / per-file lineage via [[Checkpoints]].
+  */
+object DedupPipeline {
+
+  final case class Result(
+      clusters: DataFrame,
+      edges: DataFrame,
+      stages: Seq[Checkpoints.StageInfo])
+
+  def run(spark: SparkSession, clips: DataFrame, conf: GraftConf,
+      inputSig: String = "default"): Result = {
+    import spark.implicits._
+    val stages = Seq.newBuilder[Checkpoints.StageInfo]
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val (df, info) = Checkpoints.stage(spark, conf.checkpointDir, name, inputSig)(compute)
+      stages += info
+      df
+    }
+
+    val signatures = stage("signatures") {
+      Signatures.compute(spark, clips, conf).toDF()
+    }
+
+    val bands = stage("bands") {
+      val text = signatures
+        .select($"clip_id", posexplode($"text_bands").as(Seq("band_idx", "band_key")))
+        .select(lit("text").as("src"), $"band_key", $"clip_id")
+      val audio = signatures
+        .select($"clip_id", posexplode($"audio_bands").as(Seq("band_idx", "band_key")))
+        .select(lit("audio").as("src"), $"band_key", $"clip_id")
+      val sim = signatures
+        .select($"clip_id", posexplode($"simhash_bands").as(Seq("band_idx", "band_key")))
+        .select(lit("simhash").as("src"), $"band_key", $"clip_id")
+      text.union(audio).union(sim)
+    }
+
+    val candidates = stage("candidates") {
+      CandidatePairs.fromBands(spark, bands, conf)
+        .union(SuffixDups.candidates(spark, clips, conf))
+        .groupBy($"a", $"b")
+        .agg(flatten(collect_set($"sources")).as("sources"), max($"capped").as("capped"))
+    }
+
+    val verified = stage("verified") {
+      VerifyPairs.verify(spark, candidates, clips, conf)
+    }
+
+    val clusters = stage("clusters") {
+      val vertices = clips.select($"clip_id")
+      val edges = verified.filter($"accepted").select($"a", $"b")
+      Components.connectedComponents(spark, vertices, edges, conf.maxCcIterations)
+    }
+
+    Result(clusters, verified, stages.result())
+  }
+
+  /** Dup pairs implied by a clustering: all unordered co-cluster pairs.
+    * (Test/metric utility — mirrors the reference's pairwise scoring,
+    * `/root/reference/hashBitOptimizers/HashError.h:29-83`.) */
+  def coClusterPairs(clusters: DataFrame): DataFrame = {
+    val spark = clusters.sparkSession
+    import spark.implicits._
+    val l = clusters.select($"clip_id".as("a"), $"cluster_id")
+    val r = clusters.select($"clip_id".as("b"), $"cluster_id")
+    l.join(r, "cluster_id").filter($"a" < $"b").select($"a", $"b")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.conf.GraftConf
+import graft.oracle.RefOracle
+import graft.synth.ClipTableGen
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val conf = GraftConf()
+  val N = 400
+
+  lazy val clipsLocal = {
+    val groups = math.max(1, N / 4)
+    (0L until groups).flatMap(g => ClipTableGen.group(conf.seed, g))
+  }
+  lazy val clipsDf = ClipTableGen.table(spark, N, conf.seed).toDF()
+  lazy val result = DedupPipeline.run(spark, clipsDf, conf)
+  lazy val oracle = RefOracle.run(clipsLocal, conf)
+
+  test("pipeline reproduces the seeded reference-oracle cluster assignments (recall ≥ 0.99)") {
+    val got = result.clusters.as[(String, String)].collect().toMap
+    assert(got.size === clipsLocal.size)
+    // dup-pair recall + precision vs oracle co-cluster pairs
+    def pairs(m: Map[String, String]): Set[(String, String)] = {
+      m.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    }
+    val gotPairs = pairs(got)
+    val oraclePairs = oracle.dupPairs
+    val inter = (gotPairs intersect oraclePairs).size.toDouble
+    val recall = if (oraclePairs.isEmpty) 1.0 else inter / oraclePairs.size
+    val precision = if (gotPairs.isEmpty) 1.0 else inter / gotPairs.size
+    assert(oraclePairs.nonEmpty, "oracle found no dup pairs — fixture broken")
+    assert(recall >= 0.99, s"recall=$recall (got ${gotPairs.size}, oracle ${oraclePairs.size})")
+    assert(precision >= 0.99, s"precision=$precision")
+  }
+
+  test("pipeline clusters match planted golden truth (recall & precision ≥ 0.95)") {
+    val got = result.clusters.as[(String, String)].collect().toMap
+    val golden = ClipTableGen.goldenClusters(N, conf.seed)
+    def pairs(m: Map[String, String]): Set[(String, String)] =
+      m.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val gp = pairs(golden)
+    val rp = pairs(got)
+    val inter = (gp intersect rp).size.toDouble
+    assert(gp.nonEmpty)
+    val recall = inter / gp.size
+    val precision = if (rp.isEmpty) 1.0 else inter / rp.size
+    assert(recall >= 0.95, s"golden recall=$recall missing=${(gp diff rp).take(5)}")
+    assert(precision >= 0.95, s"golden precision=$precision extra=${(rp diff gp).take(5)}")
+  }
+
+  test("hard negatives never cluster with their master") {
+    val got = result.clusters.as[(String, String)].collect().toMap
+    val groups = math.max(1, N / 4)
+    for (g <- 0L until groups; v <- 1 to ClipTableGen.variantCount(conf.seed, g)) {
+      if (ClipTableGen.variantKind(conf.seed, g, v) == "hardneg") {
+        val neg = ClipTableGen.clipId(conf.seed, g, v)
+        val master = ClipTableGen.clipId(conf.seed, g, 0)
+        assert(got(neg) !== got(master), s"hardneg $neg joined master cluster (group $g)")
+      }
+    }
+  }
+
+  test("substring variants are linked by the suffix pass") {
+    val got = result.clusters.as[(String, String)].collect().toMap
+    val groups = math.max(1, N / 4)
+    var checked = 0
+    for (g <- 0L until groups; v <- 1 to ClipTableGen.variantCount(conf.seed, g)) {
+      if (ClipTableGen.variantKind(conf.seed, g, v) == "textsub") {
+        val sub = ClipTableGen.clipId(conf.seed, g, v)
+        val master = ClipTableGen.clipId(conf.seed, g, 0)
+        assert(got(sub) === got(master), s"textsub $sub not clustered with master (group $g)")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no textsub variants planted")
+  }
+
+  test("connected components handles chains, isolated vertices, and symmetric edges") {
+    val vertices = Seq("a", "b", "c", "d", "e", "f").toDF("clip_id")
+    val edges = Seq(("a", "b"), ("b", "c"), ("e", "d")).toDF("a", "b")
+    val cc = Components.connectedComponents(spark, vertices, edges)
+      .as[(String, String)].collect().toMap
+    assert(cc("a") === "a" && cc("b") === "a" && cc("c") === "a")
+    assert(cc("d") === "d" && cc("e") === "d")
+    assert(cc("f") === "f")
+  }
+
+  test("adversarial skew: one hot band key still yields one correct cluster via chain pairs") {
+    // all-duplicates table: many exact copies of one master → every band key hot
+    val skewConf = conf.copy(bucketCap = 8, chainWidth = 2)
+    val master = ClipTableGen.group(conf.seed, 7L).head
+    val dupes = (0 until 120).map(i => master.copy(clip_id = f"dup$i%04d"))
+    val df = dupes.toDF()
+    val res = DedupPipeline.run(spark, df, skewConf)
+    val got = res.clusters.as[(String, String)].collect().toMap
+    assert(got.values.toSet.size === 1, "all exact dupes must form one cluster")
+    // and the capped path was actually exercised
+    val capped = res.edges.filter(col("accepted")).count()
+    assert(capped < 120L * 119 / 2, "chain capping should bound pair count below O(n²)")
+    assert(capped >= 119, "chain must keep the bucket connected")
+  }
+
+  test("checkpointed stages resume without recompute and reproduce identical clusters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckptConf = conf.copy(checkpointDir = Some(tmp))
+    val df = ClipTableGen.table(spark, 120, conf.seed).toDF()
+    val r1 = DedupPipeline.run(spark, df, ckptConf, inputSig = "t120")
+    val c1 = r1.clusters.as[(String, String)].collect().toMap
+    assert(r1.stages.forall(!_.resumed))
+    assert(r1.stages.forall(_.rows >= 0))
+    // manifests exist with lineage
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/_MANIFEST_signatures.json")), "UTF-8")
+    assert(manifest.contains("\"partitions\""))
+    assert(manifest.contains("\"wall_ms\""))
+    // delete the LAST stage's manifest (simulate kill before completion)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/_MANIFEST_clusters.json"))
+    val r2 = DedupPipeline.run(spark, df, ckptConf, inputSig = "t120")
+    val c2 = r2.clusters.as[(String, String)].collect().toMap
+    assert(c2 === c1, "resumed run must be byte-identical")
+    // earlier stages were resumed, not recomputed
+    assert(r2.stages.count(_.resumed) === 4, r2.stages.map(s => (s.name, s.resumed)).toString)
+    // changed input signature invalidates resume
+    val r3 = DedupPipeline.run(spark, df, ckptConf, inputSig = "t120-v2")
+    assert(r3.stages.forall(!_.resumed))
+  }
+}
