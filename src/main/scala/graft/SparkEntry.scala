@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{ClipQueries, DocQueries, EmbedQueries, RelQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator surface of the engine (SURVEY §2 inventory +
+  * the web-scale training-data ops); `oracleSql` carries a DuckDB-runnable
+  * equivalent wherever the semantics are ANSI-SQL-expressible (shared
+  * md5-based hash family, ordered double folds, integer-only outputs —
+  * see [[graft.queries.CrossSql]]). Kernel-only ops (WAV decode, seeded
+  * MinHash/SimHash pipeline) are rows-only here and oracle-checked in
+  * `sbt test` against [[graft.oracle.RefOracle]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: LSH near-duplicate detection over `documents` —
+    * shingle → MinHash → band → candidate pairs → exact-Jaccard verify
+    * (the reference's hash→probe→verify read path as one query). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    DocQueries.queries("q_near_dup_pairs")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    DocQueries.queries ++ EmbedQueries.queries ++ RelQueries.queries ++ ClipQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    DocQueries.oracleSql ++ EmbedQueries.oracleSql ++ RelQueries.oracleSql ++ ClipQueries.oracleSql
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.audio.{AudioFeatures, WavCodec}
+import graft.conf.GraftConf
+import graft.kernel.{MinHash, Probes}
+import graft.pipeline.{DedupPipeline, Signatures}
+import graft.synth.ClipTableGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kernel-surface queries: the audio dedup pipeline itself, run end-to-end
+  * over the deterministic synthetic clip table (BASELINE.json input_hint
+  * shape — there is no driver-provided clip parquet, so the generator stands
+  * in; seeded, no wall-clock). These are not SQL-expressible (WAV decode +
+  * seeded kernels), so they carry no `oracleSql` — the driver records
+  * rows-only checks, and `sbt test` holds the strong oracle
+  * ([[graft.oracle.RefOracle]] cluster-assignment match ≥ 0.99).
+  */
+object ClipQueries {
+
+  /** Fixed test-scale table size (rows ≈ NClips). */
+  val NClips = 1200
+
+  private def conf = GraftConf()
+
+  private def clips(spark: SparkSession) = ClipTableGen.table(spark, NClips)
+
+  /** Full pipeline → (clip_id, cluster_id). */
+  private def dedupClusters(spark: SparkSession): DataFrame =
+    DedupPipeline.run(spark, clips(spark), conf).clusters
+      .orderBy(col("clip_id"))
+
+  /** Cluster-size histogram (n_clusters per size). */
+  private def clusterSizes(spark: SparkSession): DataFrame =
+    DedupPipeline.run(spark, clips(spark), conf).clusters
+      .groupBy(col("cluster_id")).count()
+      .withColumnRenamed("count", "cluster_size")
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Per-clip signature stage output (decode + MinHash + SimHash kernels). */
+  private def signatures(spark: SparkSession): DataFrame =
+    Signatures.compute(spark, clips(spark), conf)
+      .toDF()
+      .select(col("clip_id"), col("simhash"), col("n_text_shingles"),
+        col("n_audio_shingles"), col("decode_ok"))
+      .orderBy(col("clip_id"))
+
+  /** Decode + frame-feature stats per clip (the multimodal decode surface:
+    * real WAV parse, real feature frames). */
+  private def audioStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val c = conf
+    clips(spark)
+      .select(col("clip_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val dec = WavCodec.decode(bytes)
+          val frames = AudioFeatures.frameTokens(dec.samples)
+          val sh = AudioFeatures.shingles(dec.samples, c.audioShingleK, c.seed)
+          (id, dec.srHz, dec.samples.length.toLong, frames.length.toLong, sh.length.toLong, true)
+        } catch {
+          case _: IllegalArgumentException => (id, -1, -1L, -1L, -1L, false)
+        }
+      }
+      .toDF("clip_id", "sr_hz", "n_samples", "n_frames", "n_shingles", "decode_ok")
+      .orderBy(col("clip_id"))
+  }
+
+  /** Audio MinHash band keys per clip (the banded multi-table build over the
+    * audio shingle space). */
+  private def audioBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val c = conf
+    clips(spark)
+      .select(col("clip_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val mh = new MinHash(c.audioNumPerm, c.seed ^ 0xa0d10L)
+        it.flatMap { case (id, bytes) =>
+          try {
+            val dec = WavCodec.decode(bytes)
+            val sh = AudioFeatures.shingles(dec.samples, c.audioShingleK, c.seed)
+            if (sh.isEmpty) Iterator.empty
+            else MinHash.bandKeys(mh.signature(sh), c.audioBands, c.audioRows, c.seed ^ 0xa0d10L)
+              .iterator.zipWithIndex.map { case (k, i) => (id, i.toLong, k) }
+          } catch { case _: IllegalArgumentException => Iterator.empty }
+        }
+      }
+      .toDF("clip_id", "band_idx", "band_key")
+      .orderBy(col("clip_id"), col("band_idx"))
+  }
+
+  /** P1/P2 expanding Hamming-ball probe masks at bits=16, maxDist=2 —
+    * deterministic combinatorial output WITH a DuckDB oracle (the one kernel
+    * whose semantics ANSI SQL can reproduce exactly). */
+  val ProbeBits = 16
+  val ProbeMaxDist = 2
+
+  private def probeMasks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Probes.ballMasks(ProbeBits, ProbeMaxDist).zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }
+      .toSeq.toDF("ord", "mask")
+      .orderBy(col("ord"))
+  }
+
+  private val probeMasksDuckSql =
+    s"""WITH w0 AS (SELECT CAST(0 AS BIGINT) AS mask, 0 AS i, 0 AS j, 0 AS w),
+       |w1 AS (SELECT CAST(1 AS BIGINT) << i AS mask, i, 0 AS j, 1 AS w
+       |  FROM (SELECT CAST(unnest(range(0, $ProbeBits)) AS INT) AS i) t),
+       |w2 AS (SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j) AS mask, i, j, 2 AS w
+       |  FROM (SELECT CAST(unnest(range(0, $ProbeBits)) AS INT) AS i) a,
+       |       (SELECT CAST(unnest(range(0, $ProbeBits)) AS INT) AS j) b WHERE j > i)
+       |SELECT CAST(row_number() OVER (ORDER BY w, i, j) - 1 AS BIGINT) AS ord, mask
+       |FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2) u
+       |ORDER BY ord""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> ((s, _) => dedupClusters(s)),
+    "q_dedup_cluster_sizes" -> ((s, _) => clusterSizes(s)),
+    "q_clip_signatures" -> ((s, _) => signatures(s)),
+    "q_audio_stats" -> ((s, _) => audioStats(s)),
+    "q_audio_bands" -> ((s, _) => audioBands(s)),
+    "q_probe_masks" -> ((s, _) => probeMasks(s))
+  )
+
+  /** Only q_probe_masks is ANSI-SQL-expressible. */
+  val oracleSql: Map[String, String] = Map(
+    "q_probe_masks" -> probeMasksDuckSql
+  )
+}

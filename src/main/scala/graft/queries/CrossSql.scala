@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared SQL fragments for the driver's cross-engine correctness gate.
+  *
+  * Every `SparkEntry.queries` entry ships with `oracleSql` that DuckDB runs
+  * on the same parquet tables; the driver hash-compares results. Anything
+  * both engines must compute bit-identically is therefore derived from the
+  * one hash family they share: `md5` of a UTF-8 string, low 60 bits parsed
+  * from the first 15 hex chars (`Hashing.md5Low60` is the kernel-side
+  * equivalent). This mirrors the reference's seeded-family design
+  * (`/root/reference/hashFunction/RandomProjectionHashFunction.h:36-45`)
+  * with "seed" = the md5 tag strings.
+  *
+  * Dialect pairs are kept side by side; the Spark text is what the engine
+  * runs (Catalyst-planned, whole-stage codegen — array/lambda builtins, no
+  * UDFs), the Duck text is the independent oracle.
+  */
+object CrossSql {
+
+  /** Low-60-bit md5 → BIGINT. Spark dialect. */
+  def sparkH60(x: String): String =
+    s"CAST(conv(substr(md5($x),1,15),16,10) AS BIGINT)"
+
+  /** Low-60-bit md5 → BIGINT. DuckDB dialect. */
+  def duckH60(x: String): String =
+    s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Tokenize-and-shingle CTE prefix (tables `toks`, `sh`) over a view
+    * `documents(doc_id, text)`; k=3 word shingles, distinct per doc; docs
+    * shorter than k collapse to one whole-text shingle (kernel convention,
+    * [[graft.kernel.Shingles.tokenShingles]]). */
+  val sparkShingleCte: String =
+    """WITH toks AS (SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, explode(CASE WHEN size(t) < 3 THEN array(concat_ws(' ', t))
+      |    ELSE transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3))) END) AS s
+      |  FROM toks))""".stripMargin
+
+  val duckShingleCte: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' ')) END) AS s
+      |  FROM toks)""".stripMargin
+
+  /** MinHash config shared by the SQL-surface queries (the kernel pipeline
+    * has its own GraftConf): 16 permutations in 4 bands × 4 rows. */
+  val NumPerm = 16
+  val Bands = 4
+  val Rows = 4
+
+  /** Adds `mh(doc_id, perm, minhash)` on top of the shingle CTE:
+    * h_p(doc) = min over shingles of h60(p || ':' || shingle). */
+  def sparkMinhashCte: String =
+    s"""$sparkShingleCte,
+       |mh AS (SELECT doc_id, CAST(p AS BIGINT) AS perm, min(${sparkH60(s"concat(CAST(p AS STRING), ':', s)")}) AS minhash
+       |  FROM sh CROSS JOIN (SELECT explode(sequence(0, ${NumPerm - 1})) AS p)
+       |  GROUP BY doc_id, p)""".stripMargin
+
+  def duckMinhashCte: String =
+    s"""$duckShingleCte,
+       |mh AS (SELECT doc_id, p AS perm, min(${duckH60(s"concat(CAST(p AS VARCHAR), ':', s)")}) AS minhash
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumPerm)) AS p) perms
+       |  GROUP BY doc_id, p)""".stripMargin
+
+  /** Adds `bands(doc_id, band_idx, band_key)`: band key = h60 of the band's
+    * row-hashes concatenated in permutation order (reference idiom: one
+    * hash table per band, SURVEY §7.0 table ↔ band). */
+  def sparkBandsCte: String =
+    s"""$sparkMinhashCte,
+       |bands AS (SELECT doc_id, perm DIV $Rows AS band_idx,
+       |    ${sparkH60(s"concat(CAST(perm DIV $Rows AS STRING), '|', concat_ws(',', sort_array(collect_list(concat(lpad(CAST(perm AS STRING), 2, '0'), ':', CAST(minhash AS STRING))))))")} AS band_key
+       |  FROM mh GROUP BY doc_id, perm DIV $Rows)""".stripMargin
+
+  def duckBandsCte: String =
+    s"""$duckMinhashCte,
+       |bands AS (SELECT doc_id, perm // $Rows AS band_idx,
+       |    ${duckH60(s"concat(CAST(perm // $Rows AS VARCHAR), '|', string_agg(concat(lpad(CAST(perm AS VARCHAR), 2, '0'), ':', CAST(minhash AS VARCHAR)), ',' ORDER BY perm))")} AS band_key
+       |  FROM mh GROUP BY doc_id, perm // $Rows)""".stripMargin
+
+  /** Register `<dir>/<table>.parquet` as a temp view named `table`. */
+  def view(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    df.createOrReplaceTempView(table)
+    df
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import CrossSql._
+
+/** Embedding-family queries over `embeddings(vec_id, embedding float[64],
+  * label)` — the dense-vector half of the reference re-expressed relationally:
+  *
+  *  - q_knn_cosine / q_knn_l2: the reference's `batchQuery` public API
+  *    (operator Q5, `/root/reference/hashIndex/HashCollection.h:232-295`):
+  *    query set × base set, exact distance (Q7), per-query top-k (Q8 as a
+  *    rank window instead of the bounded heap).
+  *  - q_ann_codes: H1 RandomProjection sign codes (SimHash over the dense
+  *    space, `/root/reference/hashFunction/RandomProjectionHashFunction.h:47-53`)
+  *    with a cross-engine ±1 projection derived from md5 parity — the
+  *    SQL-checkable analogue of the seeded Gaussian kernel.
+  *  - q_ann_buckets: B1 bucket directory (code → member count) as a groupBy.
+  *
+  * Float determinism contract: every dot product is computed as an ordered
+  * left-to-right fold over double-cast elements — both dialects spell the
+  * identical reduction, so doubles match bit-for-bit and rank windows agree.
+  */
+object EmbedQueries {
+
+  val Dim = 64
+  val TopK = 10
+  val QueryStride = 25 // vec_id % stride == 0 → query point
+  val CodeBits = 16
+
+  /** Ordered double dot product of two FLOAT[] columns, Spark dialect. */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def knnSql(scoreOf: String, asc: Boolean): String = {
+    val ord = if (asc) "ASC" else "DESC"
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $scoreOf AS score
+       |  FROM q JOIN embeddings b ON q.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score $ord, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val knnCosSparkSql = knnSql(
+    s"${sparkDot("q.embedding", "b.embedding")} / (sqrt(${sparkDot("q.embedding", "q.embedding")}) * sqrt(${sparkDot("b.embedding", "b.embedding")}))",
+    asc = false)
+  private val knnCosDuckSql = knnSql(
+    s"${duckDot("q.embedding", "b.embedding")} / (sqrt(${duckDot("q.embedding", "q.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")}))",
+    asc = false)
+
+  private def sparkDist2(a: String, b: String): String =
+    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE)) * (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE)))"
+  private def duckDist2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  private val knnL2SparkSql = knnSql(sparkDist2("q.embedding", "b.embedding"), asc = true)
+  private val knnL2DuckSql = knnSql(duckDist2("q.embedding", "b.embedding"), asc = true)
+
+  private val normsSparkSql =
+    s"""SELECT vec_id, CAST(floor(1000000 * sqrt(${sparkDot("embedding", "embedding")})) AS BIGINT) AS norm_x1e6
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  private val normsDuckSql =
+    s"""SELECT vec_id, CAST(floor(1000000 * sqrt(${duckDot("embedding", "embedding")})) AS BIGINT) AS norm_x1e6
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** ±1 sign for projection row `b`, dimension `j` (1-based): parity of the
+    * shared md5-family hash of "rp<b>_<j>". */
+  private def sparkSgn(b: Int, j: String): String =
+    s"CASE WHEN (${sparkH60(s"concat('rp', '$b', '_', CAST($j AS STRING))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+  private def duckSgn(b: Int, j: String): String =
+    s"CASE WHEN (${duckH60(s"concat('rp', '$b', '_', CAST($j AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+
+  private def annCodesSql(dotTerm: Int => String): String = {
+    val code = (0 until CodeBits)
+      .map(b => s"CASE WHEN ${dotTerm(b)} > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""SELECT vec_id, CAST($code AS BIGINT) AS code
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  private val annCodesSparkSql = annCodesSql(b =>
+    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + ${sparkSgn(b, "i")} * CAST(element_at(embedding, i) AS DOUBLE))")
+  private val annCodesDuckSql = annCodesSql(b =>
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ${duckSgn(b, "i")} * CAST(embedding[i] AS DOUBLE)))")
+
+  private def annBucketsSql(codesSql: String): String =
+    s"""WITH codes AS (${codesSql.replace("ORDER BY vec_id", "")})
+       |SELECT code, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+       |FROM codes GROUP BY code ORDER BY code""".stripMargin
+
+  private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    view(spark, dir, "embeddings")
+    spark.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norms" -> ((s, d) => q(s, d, normsSparkSql)),
+    "q_knn_cosine" -> ((s, d) => q(s, d, knnCosSparkSql)),
+    "q_knn_l2" -> ((s, d) => q(s, d, knnL2SparkSql)),
+    "q_ann_codes" -> ((s, d) => q(s, d, annCodesSparkSql)),
+    "q_ann_buckets" -> ((s, d) => q(s, d, annBucketsSql(annCodesSparkSql)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_embed_norms" -> normsDuckSql,
+    "q_knn_cosine" -> knnCosDuckSql,
+    "q_knn_l2" -> knnL2DuckSql,
+    "q_ann_codes" -> annCodesDuckSql,
+    "q_ann_buckets" -> annBucketsSql(annCodesDuckSql)
+  )
+}
