@@ -1,24 +1,107 @@
 package graft
+
+import graft.conf.GraftConf
+import graft.pipeline.DedupPipeline
+import graft.synth.ClipTableGen
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — prints ONE JSON line.
+  *
+  * Two phases:
+  *  1. headline driver queries at `local[SPARK_GRAFT_CPUS]` on
+  *     `SPARK_GRAFT_SF_DIR` (per-query seconds in "queries");
+  *  2. the end-to-end dedup pipeline (synth input_hint table → clusters) at
+  *     two parallelism levels, `local[N]` and `local[4N]` on IDENTICAL input
+  *     — the sandbox evidence for the north rule's N vs 4N executor-cluster
+  *     scaling criterion. Reports clips/sec at both plus
+  *     efficiency = (T_N / T_4N) / 4; target ≥ 0.8 (BASELINE.md §2).
+  *
+  * A small warmup run precedes the timed pipeline runs so JIT compilation
+  * of the kernels doesn't bias the first measurement.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private val headline = Seq(
+    "q_exact_dedup", "q_minhash_bands", "q_lsh_pairs", "q_near_dup_pairs",
+    "q_simhash_pairs", "q_substring_pairs", "q_knn_cosine", "q_ann_buckets",
+    "q1_agg", "q_join_agg", "q_window_latest")
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Wall seconds for one full dedup pipeline run over a pre-materialized
+    * parquet input table (the production shape: the input is an Iceberg
+    * table on storage, not a re-synthesizable view). Count forces execution. */
+  private def pipelineSecs(spark: SparkSession, inputDir: String): Double = {
+    val clips = spark.read.parquet(inputDir)
+    val t0 = System.nanoTime()
+    DedupPipeline.run(spark, clips, GraftConf()).clusters.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Synthesize the input_hint clip table once, to parquet (untimed). */
+  private def materializeClips(spark: SparkSession, n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-clips").toString + "/clips"
+    ClipTableGen.table(spark, n).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "8").toInt
+    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "16000").toInt
+
+    // ---- phase 1: headline queries --------------------------------------
+    val spark1 = session(cpus)
+    val qTimes = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    // materialize the input table once + JIT warmup (small run, same session)
+    val inputDir = materializeClips(spark1, nClips)
+    val warmDir = materializeClips(spark1, 1000)
+    pipelineSecs(spark1, warmDir)
+    spark1.stop()
+
+    // ---- phase 2: same job, same input, two parallelism levels ----------
+    // Two runs per level, best taken: the sandbox host is shared, so single
+    // runs carry external noise; min is the least-contended estimate.
+    def bestOf(cores: Int, reps: Int = 2): Double =
+      (1 to reps).map { _ =>
+        val s = session(cores)
+        val t = pipelineSecs(s, inputDir)
+        s.stop()
+        t
+      }.min
+    val tN = bestOf(baseN)
+    val t4N = bestOf(4 * baseN)
+
+    val cpsN = nClips / tN
+    val cps4N = nClips / t4N
+    val eff = (tN / t4N) / 4.0
+
+    val qs = (qTimes ++ Seq(
+      s"dedup_pipeline_local$baseN" -> tN,
+      s"dedup_pipeline_local${4 * baseN}" -> t4N))
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = qTimes.map(_._2).sum + tN + t4N
+    val dedup =
+      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup}""")
   }
 }

@@ -6,14 +6,30 @@ import org.apache.spark.storage.StorageLevel
 
 /** Connected components over the verified-edge list, pure DataFrame ops —
   * hash-min label propagation (each vertex repeatedly takes the min label in
-  * its closed neighborhood) with per-iteration lineage truncation.
+  * its closed neighborhood) with pointer doubling and per-iteration lineage
+  * truncation.
   *
   * The reference has no clustering stage (its queries return kNN lists);
-  * dedup needs the transitive closure of dup edges. Duplicate clusters have
-  * tiny diameters (star-like around masters), so hash-min converges in a few
-  * rounds; labels are the `clip_id` strings themselves (min = lexicographic),
-  * which avoids 64-bit surrogate-id birthday collisions at 10^12 rows and
-  * keeps resume byte-identical.
+  * dedup needs the transitive closure of dup edges. Design points for the
+  * 10^12-row target:
+  *
+  *  - Only edge-endpoint vertices enter the iteration. Singletons (the vast
+  *    majority of a deduped corpus) are attached at the end with a single
+  *    left join — the loop's working set is O(|edges|), not O(|corpus|).
+  *  - Convergence is detected by an order-insensitive label fingerprint
+  *    (sum of xxhash64(vertex, label)) — one cached-scan aggregate per
+  *    round instead of a join against the previous labels. Labels only ever
+  *    decrease, so fingerprint equality ⇔ fixpoint (up to a 2^-64 hash
+  *    cancellation).
+  *  - Pointer doubling (label ← label(label)) turns the chain-shaped
+  *    components produced by the skew-capped pair generator into O(log n)
+  *    rounds.
+  *  - AQE is disabled inside the loop: re-planning every tiny iterative
+  *    join costs more than it saves; it is restored afterwards.
+  *
+  * Labels are the `clip_id` strings themselves (min = lexicographic), which
+  * avoids 64-bit surrogate-id birthday collisions at 10^12 rows and keeps
+  * resume byte-identical.
   */
 object Components {
 
@@ -26,43 +42,72 @@ object Components {
       maxIterations: Int = 50): DataFrame = {
     import spark.implicits._
 
-    val und = edges.select($"a".as("src"), $"b".as("dst"))
-      .union(edges.select($"b".as("src"), $"a".as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
-
-    var labels = vertices.select($"clip_id", $"clip_id".as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
-
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      // min label over closed neighborhood
-      val msgs = und
-        .join(labels.withColumnRenamed("clip_id", "src"), Seq("src"))
-        .select($"dst".as("clip_id"), $"label")
-      val minned = labels.select($"clip_id", $"label").union(msgs)
-        .groupBy($"clip_id").agg(min($"label").as("label"))
-      // pointer doubling: label ← label(label). Invariant label(v) ≤ v, so
-      // the shortcut only improves; turns O(diameter) rounds into O(log n)
-      // (the chain-capped skew path produces long paths by design).
-      val next = minned
-        .join(
-          minned.select($"clip_id".as("label"), $"label".as("ll")),
-          Seq("label"))
-        .select($"clip_id", $"ll".as("label"))
-        .localCheckpoint(true) // truncate lineage every round
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
+    val shuffleWas = spark.conf.getOption("spark.sql.shuffle.partitions").getOrElse("200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val und = edges.select($"a".as("src"), $"b".as("dst"))
+        .union(edges.select($"b".as("src"), $"a".as("dst")))
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("clip_id"))
-        .filter($"label" =!= $"old").count()
-      labels.unpersist(false)
-      labels = next
-      converged = changed == 0
-      iter += 1
+
+      // The loop's working set is O(|edges|) — orders of magnitude smaller
+      // than the corpus after endpoint restriction. Size its shuffles by its
+      // own data volume (≈250k rows/partition), not the session default: at
+      // test scale this collapses 64-partition microshuffles to a handful,
+      // at 10^12 scale it grows as needed. Restored before the final
+      // corpus-sized join below.
+      val undRows = und.count()
+      val loopParts = math.min(4096L, math.max(4L, undRows / 250000L)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
+      def fingerprint(labels: DataFrame): Long =
+        labels.agg(coalesce(expr("bit_xor(xxhash64(clip_id, label))"), lit(0L)))
+          .head().getLong(0)
+
+      var labels = und.select($"src".as("clip_id")).distinct()
+        .select($"clip_id", $"clip_id".as("label"))
+        .localCheckpoint(true)
+      var fp = fingerprint(labels)
+
+      val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        val itT0 = System.nanoTime()
+        // min label over closed neighborhood
+        val msgs = und
+          .join(labels.withColumnRenamed("clip_id", "src"), Seq("src"))
+          .select($"dst".as("clip_id"), $"label")
+        val minned = labels.union(msgs)
+          .groupBy($"clip_id").agg(min($"label").as("label"))
+        // pointer doubling: label ← label(label). Invariant label(v) ≤ v, so
+        // the shortcut only improves.
+        val next = minned
+          .join(minned.select($"clip_id".as("label"), $"label".as("ll")), Seq("label"))
+          .select($"clip_id", $"ll".as("label"))
+          .localCheckpoint(true) // eager + lineage truncation
+        val nfp = fingerprint(next)
+        labels = next
+        converged = nfp == fp
+        fp = nfp
+        iter += 1
+        if (verbose)
+          System.err.println(f"[cc] iter=$iter wall=${(System.nanoTime() - itT0) / 1e9}%.2fs converged=$converged")
+      }
+
+      // restore session-scale shuffle sizing before planning the
+      // corpus-sized singleton join
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleWas)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      val out = vertices.select($"clip_id")
+        .join(labels, Seq("clip_id"), "left")
+        .select($"clip_id", coalesce($"label", $"clip_id").as("cluster_id"))
+      und.unpersist(false)
+      out
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleWas)
     }
-    und.unpersist(false)
-    labels.withColumnRenamed("label", "cluster_id")
   }
 }

@@ -35,10 +35,17 @@ object DedupPipeline {
       stages += info
       df
     }
+    // Stage outputs consumed more than once downstream are materialized:
+    // via parquet when checkpointing, via persist-with-spill otherwise —
+    // without this, lazy evaluation re-runs the decode/signature kernel per
+    // consumer branch.
+    def materialized(df: DataFrame): DataFrame =
+      if (conf.checkpointDir.isDefined) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val signatures = stage("signatures") {
+    val signatures = materialized(stage("signatures") {
       Signatures.compute(spark, clips, conf).toDF()
-    }
+    })
 
     val bands = stage("bands") {
       val text = signatures
@@ -60,9 +67,9 @@ object DedupPipeline {
         .agg(flatten(collect_set($"sources")).as("sources"), max($"capped").as("capped"))
     }
 
-    val verified = stage("verified") {
-      VerifyPairs.verify(spark, candidates, clips, conf)
-    }
+    val verified = materialized(stage("verified") {
+      VerifyPairs.verify(spark, candidates, signatures, clips, conf)
+    })
 
     val clusters = stage("clusters") {
       val vertices = clips.select($"clip_id")

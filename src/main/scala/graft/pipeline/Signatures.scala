@@ -5,15 +5,20 @@ import graft.conf.GraftConf
 import graft.kernel.{BitPack, Hashing, MinHash, Shingles, SimHash}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
-/** Per-clip signature row: everything downstream stages need, and nothing
-  * heavy (no bytes, no transcript, no shingle sets — candidates re-derive
-  * those for the tiny fraction of rows that reach verification). */
+/** Per-clip signature row: everything downstream stages need — including
+  * the sorted shingle-hash sets (~0.5–2 KB/row), so the verification stage
+  * joins candidates back to THIS table instead of re-shipping and
+  * re-decoding multi-KB audio payloads. The heavy `bytes` column never
+  * leaves the signature scan; shingle sets never travel through the band
+  * shuffle (bands are separate slim rows). */
 final case class ClipSignature(
     clip_id: String,
     text_bands: Array[Long],
     audio_bands: Array[Long],
     simhash: Long,
     simhash_bands: Array[Long],
+    text_sh: Array[Long],
+    audio_sh: Array[Long],
     n_text_shingles: Int,
     n_audio_shingles: Int,
     decode_ok: Boolean)
@@ -67,7 +72,8 @@ object Signatures {
           val simBands = simBandVals.zipWithIndex.map { case (v, i) =>
             Hashing.combine(Hashing.derive(c.seed ^ 0x51e4L, 0xb000 + i), v)
           }
-          ClipSignature(id, textBands, audioBands, sim, simBands, textSh.length, audioSh.length, decodeOk)
+          ClipSignature(id, textBands, audioBands, sim, simBands, textSh, audioSh,
+            textSh.length, audioSh.length, decodeOk)
         }
       }
   }

@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import graft.audio.{AudioFeatures, WavCodec}
 import graft.conf.GraftConf
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,52 +10,42 @@ import org.apache.spark.sql.functions._
   * re-rank of hash candidates; here exact shingle Jaccard / token-substring
   * containment, the dedup metrics).
   *
-  * Candidates are a small fraction of the corpus, so the verify stage joins
-  * pairs back to the clip table (shuffle hash join on clip_id) and
-  * re-derives shingles only for those rows — at 10^12 scale this re-decode
-  * of candidates is far cheaper than carrying shingle sets through the band
-  * shuffle.
+  * Scale design: the pair set joins back to the SIGNATURE table (which
+  * carries the sorted shingle-hash sets, ~1 KB/row) and to the clip table's
+  * transcript column only — the multi-KB `bytes` column never travels
+  * through a verification shuffle and audio is never re-decoded. All three
+  * exact checks (text Jaccard, audio Jaccard, substring containment) run on
+  * every candidate, matching the reference-oracle semantics exactly.
   */
 object VerifyPairs {
 
-  /** pairs (a, b, sources, capped) × clips (clip_id, bytes, transcript)
+  /** pairs (a, b, sources, capped) × signatures (clip_id, text_sh,
+    * audio_sh) × clips (clip_id, transcript)
     * → verified edges (a, b, text_jaccard, audio_jaccard, substring,
     *   accepted, reasons). */
-  def verify(spark: SparkSession, pairs: DataFrame, clips: DataFrame, conf: GraftConf): DataFrame = {
+  def verify(spark: SparkSession, pairs: DataFrame, signatures: DataFrame,
+      clips: DataFrame, conf: GraftConf): DataFrame = {
     import spark.implicits._
     val c = conf
-    val needsAudio = array_contains($"sources", "audio")
 
-    val side = clips.select($"clip_id", $"bytes", $"transcript")
-    val joined = pairs
-      .join(side.select($"clip_id".as("a"), $"bytes".as("bytes_a"), $"transcript".as("text_a")), Seq("a"))
-      .join(side.select($"clip_id".as("b"), $"bytes".as("bytes_b"), $"transcript".as("text_b")), Seq("b"))
-      // audio payload only travels for audio-sourced candidates
-      .withColumn("bytes_a", when(needsAudio, $"bytes_a").otherwise(lit(null)))
-      .withColumn("bytes_b", when(needsAudio, $"bytes_b").otherwise(lit(null)))
+    val sigSide = signatures.select($"clip_id", $"text_sh", $"audio_sh")
+    val textSide = clips.select($"clip_id", $"transcript")
 
-    joined
-      .select($"a", $"b", $"text_a", $"text_b", $"bytes_a", $"bytes_b")
-      .as[(String, String, String, String, Array[Byte], Array[Byte])]
-      .map { case (a, b, ta, tb, ba, bb) =>
-        val sa = graft.kernel.Shingles.tokenShingles(graft.kernel.Shingles.tokens(Option(ta).getOrElse("")), c.textShingleK, c.seed)
-        val sb = graft.kernel.Shingles.tokenShingles(graft.kernel.Shingles.tokens(Option(tb).getOrElse("")), c.textShingleK, c.seed)
-        val textJ = graft.kernel.Shingles.jaccardSorted(sa, sb)
-
+    pairs
+      .join(sigSide.select($"clip_id".as("a"), $"text_sh".as("tsh_a"), $"audio_sh".as("ash_a")), Seq("a"))
+      .join(sigSide.select($"clip_id".as("b"), $"text_sh".as("tsh_b"), $"audio_sh".as("ash_b")), Seq("b"))
+      .join(textSide.select($"clip_id".as("a"), $"transcript".as("text_a")), Seq("a"))
+      .join(textSide.select($"clip_id".as("b"), $"transcript".as("text_b")), Seq("b"))
+      .select($"a", $"b", $"tsh_a", $"tsh_b", $"ash_a", $"ash_b", $"text_a", $"text_b")
+      .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long], String, String)]
+      .map { case (a, b, tshA, tshB, ashA, ashB, ta, tb) =>
+        val textJ = graft.kernel.Shingles.jaccardSorted(tshA, tshB)
         val audioJ =
-          if (ba != null && bb != null) {
-            try {
-              val da = WavCodec.decode(ba)
-              val db = WavCodec.decode(bb)
-              val asa = AudioFeatures.shingles(da.samples, c.audioShingleK, c.seed)
-              val asb = AudioFeatures.shingles(db.samples, c.audioShingleK, c.seed)
-              graft.kernel.Shingles.jaccardSorted(asa, asb)
-            } catch { case _: IllegalArgumentException => 0.0 }
-          } else 0.0
-
+          if (ashA.nonEmpty && ashB.nonEmpty) graft.kernel.Shingles.jaccardSorted(ashA, ashB)
+          else 0.0
         val sub = isTokenSubstring(ta, tb) || isTokenSubstring(tb, ta)
         val accepted = textJ >= c.textJaccardThreshold ||
-          audioJ >= c.audioJaccardThreshold || sub
+          (ashA.nonEmpty && ashB.nonEmpty && audioJ >= c.audioJaccardThreshold) || sub
         val reasons = Seq(
           if (textJ >= c.textJaccardThreshold) "text" else null,
           if (audioJ >= c.audioJaccardThreshold) "audio" else null,

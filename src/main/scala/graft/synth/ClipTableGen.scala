@@ -71,10 +71,11 @@ object ClipTableGen {
     * each = exactly 2 feature frames, so frames never straddle segment
     * boundaries), each segment a sine at a seeded freq/amplitude, plus low
     * seeded noise. Non-stationarity makes the frame-token sequence
-    * informative — distinct groups get distinct shingle sets. 0.2–0.6 s. */
+    * informative — distinct groups get distinct shingle sets. 0.2–2.0 s
+    * (FIXTURES.md §1). */
   private def masterSamples(seed: Long, group: Long): (Array[Short], Int) = {
     val srHz = if ((Hashing.derive(seed ^ 0x5aL, group) & 1L) == 1L) 16000 else 8000
-    val durMs = 200 + (Hashing.derive(seed ^ 0xd4L, group).abs % 400).toInt
+    val durMs = 200 + (Hashing.derive(seed ^ 0xd4L, group).abs % 1800).toInt
     val seg = 512
     val nSeg = math.max(4, srHz * durMs / 1000 / seg)
     val n = nSeg * seg

@@ -1,0 +1,101 @@
+package graft.tools
+
+import graft.conf.GraftConf
+import graft.pipeline._
+import graft.synth.ClipTableGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-stage wall-clock breakdown of the dedup pipeline at one parallelism
+  * level — diagnosis harness for scaling work. Usage:
+  * runMain graft.tools.StageBench [cores] [nClips] */
+object StageBench {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 8
+    val n = if (args.length > 1) args(1).toInt else 8000
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-stagebench")
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val conf = GraftConf()
+
+    def time[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // 0. materialize input to parquet (the real pipeline reads a table, it
+    // doesn't re-synthesize per scan)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stagebench").toString
+    time("synth+write") {
+      ClipTableGen.table(spark, n).write.mode("overwrite").parquet(s"$dir/clips")
+    }
+    val clips = spark.read.parquet(s"$dir/clips")
+
+    val signatures = time("signatures") {
+      val s = Signatures.compute(spark, clips, conf).toDF()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.count()
+      s
+    }
+
+    val bands = time("bands") {
+      val text = signatures
+        .select($"clip_id", posexplode($"text_bands").as(Seq("band_idx", "band_key")))
+        .select(lit("text").as("src"), $"band_key", $"clip_id")
+      val audio = signatures
+        .select($"clip_id", posexplode($"audio_bands").as(Seq("band_idx", "band_key")))
+        .select(lit("audio").as("src"), $"band_key", $"clip_id")
+      val sim = signatures
+        .select($"clip_id", posexplode($"simhash_bands").as(Seq("band_idx", "band_key")))
+        .select(lit("simhash").as("src"), $"band_key", $"clip_id")
+      val b = text.union(audio).union(sim).persist(StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    }
+
+    val candBands = time("cand_bands") {
+      val c = CandidatePairs.fromBands(spark, bands, conf).persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+
+    val candSuffix = time("cand_suffix") {
+      val c = SuffixDups.candidates(spark, clips, conf).persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+
+    val candidates = time("cand_union") {
+      val c = candBands.union(candSuffix)
+        .groupBy($"a", $"b")
+        .agg(flatten(collect_set($"sources")).as("sources"), max($"capped").as("capped"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+
+    val verified = time("verified") {
+      val v = VerifyPairs.verify(spark, candidates, signatures, clips, conf)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      v
+    }
+
+    time("clusters") {
+      val vertices = clips.select($"clip_id")
+      val edges = verified.filter($"accepted").select($"a", $"b")
+      Components.connectedComponents(spark, vertices, edges, conf.maxCcIterations).count()
+    }
+
+    spark.stop()
+  }
+}
