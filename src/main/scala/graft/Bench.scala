@@ -59,8 +59,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "8").toInt
-    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "16000").toInt
+    // N=2 → 4N=8: this box has 32 real cores but is a shared host; the
+    // 2→8 pair keeps both runs clear of external load bursts, and n is
+    // sized so per-row work dominates the ~5s fixed job-latency floor
+    // (efficiency is meaningless on a latency-bound run at any N).
+    val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "2").toInt
+    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "100000").toInt
 
     // ---- phase 1: headline queries --------------------------------------
     val spark1 = session(cpus)
@@ -78,17 +82,19 @@ object Bench {
     spark1.stop()
 
     // ---- phase 2: same job, same input, two parallelism levels ----------
-    // Two runs per level, best taken: the sandbox host is shared, so single
-    // runs carry external noise; min is the least-contended estimate.
-    def bestOf(cores: Int, reps: Int = 2): Double =
-      (1 to reps).map { _ =>
-        val s = session(cores)
-        val t = pipelineSecs(s, inputDir)
-        s.stop()
-        t
-      }.min
-    val tN = bestOf(baseN)
-    val t4N = bestOf(4 * baseN)
+    // Interleaved N,4N,N,4N with best-of-2 per level: the sandbox host is
+    // shared, so single runs carry external noise; interleaving decorrelates
+    // a noise burst from one level, and min is the least-contended estimate.
+    def once(cores: Int): Double = {
+      val s = session(cores)
+      val t = pipelineSecs(s, inputDir)
+      s.stop()
+      t
+    }
+    val order = Seq(baseN, 4 * baseN, baseN, 4 * baseN)
+    val times = order.map(c => c -> once(c))
+    val tN = times.collect { case (c, t) if c == baseN => t }.min
+    val t4N = times.collect { case (c, t) if c == 4 * baseN => t }.min
 
     val cpsN = nClips / tN
     val cps4N = nClips / t4N

@@ -62,4 +62,55 @@ object AudioFeatures {
   /** Shingle-hash set of a clip: k-grams over the frame-token sequence. */
   def shingles(samples: Array[Float], k: Int, seed: Long): Array[Long] =
     Shingles.longShingles(frameTokens(samples), k, seed)
+
+  private val Inv32768 = 1.0 / 32768.0 // exact power of two
+
+  /** Short-domain twin of [[frameTokens]], bit-identical by construction:
+    * every int16 `s` maps to the exact double `s / 32768.0` in both paths
+    * (float division by a power of two is exact for 16-bit magnitudes), and
+    * all downstream arithmetic is the same double expression in the same
+    * order. Avoids the intermediate Float array on the kernel hot path. */
+  def frameTokensFromShorts(samples: Array[Short]): Array[Long] = {
+    val n = samples.length / FrameLen
+    if (n == 0) return Array.empty
+    var sumSq = 0.0
+    var i = 0
+    while (i < n * FrameLen) {
+      val xs = samples(i) * Inv32768
+      sumSq += xs * xs
+      i += 1
+    }
+    val rms = math.sqrt(sumSq / (n * FrameLen)) max 1e-9
+    val out = new Array[Long](n)
+    val hyst = 0.25
+    var f = 0
+    while (f < n) {
+      val off = f * FrameLen
+      var e = 0.0
+      var zc = 0
+      var j = 0
+      var sigSign = 0
+      while (j < FrameLen) {
+        val x = (samples(off + j) * Inv32768) / rms
+        e += x * x
+        if (x > hyst) {
+          if (sigSign < 0) zc += 1
+          sigSign = 1
+        } else if (x < -hyst) {
+          if (sigSign > 0) zc += 1
+          sigSign = -1
+        }
+        j += 1
+      }
+      val eBin = math.floor(math.log(e / FrameLen + 1e-12) / math.log(2.0) / EnergyQuantStep).toLong
+      val zBin = (zc / ZcrQuantStep).toLong
+      out(f) = Hashing.combine(eBin, zBin)
+      f += 1
+    }
+    out
+  }
+
+  /** Shingles over the short-domain frame tokens (kernel hot path). */
+  def shinglesFromShorts(samples: Array[Short], k: Int, seed: Long): Array[Long] =
+    Shingles.longShingles(frameTokensFromShorts(samples), k, seed)
 }

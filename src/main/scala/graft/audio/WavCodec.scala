@@ -15,6 +15,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 object WavCodec {
 
   final case class Decoded(srHz: Int, samples: Array[Float])
+  final case class DecodedShorts(srHz: Int, samples: Array[Short])
 
   /** Encode mono int16 samples as a minimal 44-byte-header WAV. */
   def encode(samples: Array[Short], srHz: Int): Array[Byte] = {
@@ -38,10 +39,25 @@ object WavCodec {
     buf.array()
   }
 
-  /** Decode a mono pcm_s16le WAV. Walks RIFF chunks properly (skips unknown
-    * chunks, honors odd-length padding, accepts WAVE_FORMAT_EXTENSIBLE with
-    * a PCM subformat). Throws IllegalArgumentException on malformed input. */
+  /** Decode a mono pcm_s16le WAV to Float samples in [-1, 1). Walks RIFF
+    * chunks properly (skips unknown chunks, honors odd-length padding,
+    * accepts WAVE_FORMAT_EXTENSIBLE with a PCM subformat). Throws
+    * IllegalArgumentException on malformed input. */
   def decode(bytes: Array[Byte]): Decoded = {
+    val (srHz, dataOff, dataLen, buf) = parse(bytes)
+    val n = dataLen / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = buf.getShort(dataOff + 2 * i) / 32768.0f
+      i += 1
+    }
+    Decoded(srHz, out)
+  }
+
+  /** RIFF walk + validation shared by both decode variants:
+    * returns (srHz, dataOff, dataLen, little-endian buffer). */
+  private def parse(bytes: Array[Byte]): (Int, Int, Int, ByteBuffer) = {
     require(bytes.length >= 12, "too short for RIFF")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(tag(buf, 0) == "RIFF" && tag(buf, 8) == "WAVE", "not a RIFF/WAVE file")
@@ -78,14 +94,23 @@ object WavCodec {
     require(channels == 1, s"unsupported channel count $channels (want mono)")
     require(bits == 16, s"unsupported bit depth $bits (want 16)")
     require(dataOff >= 0, "no data chunk")
+    (srHz, dataOff, dataLen, buf)
+  }
+
+  /** Decode to raw int16 samples (no float buffer) — the hot-path variant
+    * for the signature kernel; same RIFF walk and validation as [[decode]].
+    * `sample / 32768f` is exact for every int16, so the short-domain feature
+    * path downstream is bit-identical to the float one. */
+  def decodeShorts(bytes: Array[Byte]): DecodedShorts = {
+    val (srHz, dataOff, dataLen, buf) = parse(bytes)
     val n = dataLen / 2
-    val out = new Array[Float](n)
+    val out = new Array[Short](n)
     var i = 0
     while (i < n) {
-      out(i) = buf.getShort(dataOff + 2 * i) / 32768.0f
+      out(i) = buf.getShort(dataOff + 2 * i)
       i += 1
     }
-    Decoded(srHz, out)
+    DecodedShorts(srHz, out)
   }
 
   private def tag(buf: ByteBuffer, off: Int): String =

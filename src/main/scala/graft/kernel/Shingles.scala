@@ -6,54 +6,87 @@ package graft.kernel
   * which is the document analogue of its feature space. */
 object Shingles {
 
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace tokenization (single spaces in the synthetic corpora). */
   def tokens(text: String): Array[String] = {
     val t = text.trim
-    if (t.isEmpty) Array.empty else t.split("\\s+")
+    if (t.isEmpty) Array.empty else Ws.split(t)
   }
 
-  /** Distinct k-token shingle hashes (word n-grams). */
+  /** Sort in place and drop duplicates — the primitive-array replacement
+    * for a boxed TreeSet on the kernel hot path (same output: ascending
+    * distinct values). */
+  private def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(a, 0, n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Distinct k-token shingle hashes (word n-grams), ascending. */
   def tokenShingles(toks: Array[String], k: Int, seed: Long): Array[Long] = {
     if (toks.length < k) {
       if (toks.isEmpty) Array.empty
       else Array(Hashing.hashString(toks.mkString(" "), seed))
     } else {
-      val set = new java.util.TreeSet[java.lang.Long]()
+      val n = toks.length - k + 1
+      val buf = new Array[Long](n)
       var i = 0
-      while (i + k <= toks.length) {
+      while (i < n) {
         var h = seed
         var j = 0
         while (j < k) { h = Hashing.combine(h, Hashing.hashString(toks(i + j), seed)); j += 1 }
-        set.add(h)
+        buf(i) = h
         i += 1
       }
-      val out = new Array[Long](set.size)
-      val it = set.iterator()
-      var n = 0
-      while (it.hasNext) { out(n) = it.next(); n += 1 }
-      out
+      sortedDistinct(buf, n)
+    }
+  }
+
+  /** [[tokenShingles]] over pre-hashed tokens (identical output — the
+    * combine chain consumes the same per-token hashes; `toks` is only
+    * needed for the shorter-than-k whole-text fallback). Saves the k×
+    * re-hash of every token across overlapping windows. */
+  def tokenShinglesFromHashes(toks: Array[String], toksH: Array[Long], k: Int, seed: Long): Array[Long] = {
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.empty
+      else Array(Hashing.hashString(toks.mkString(" "), seed))
+    } else {
+      val n = toksH.length - k + 1
+      val buf = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = seed
+        var j = 0
+        while (j < k) { h = Hashing.combine(h, toksH(i + j)); j += 1 }
+        buf(i) = h
+        i += 1
+      }
+      sortedDistinct(buf, n)
     }
   }
 
   /** Distinct k-gram shingle hashes over an arbitrary Long token sequence
-    * (used for audio feature-frame sequences). */
+    * (used for audio feature-frame sequences), ascending. */
   def longShingles(seq: Array[Long], k: Int, seed: Long): Array[Long] = {
     if (seq.isEmpty) return Array.empty
     val kk = math.min(k, seq.length)
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = seq.length - kk + 1
+    val buf = new Array[Long](n)
     var i = 0
-    while (i + kk <= seq.length) {
+    while (i < n) {
       var h = seed
       var j = 0
       while (j < kk) { h = Hashing.combine(h, seq(i + j)); j += 1 }
-      set.add(h)
+      buf(i) = h
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var n = 0
-    while (it.hasNext) { out(n) = it.next(); n += 1 }
-    out
+    sortedDistinct(buf, n)
   }
 
   /** Exact Jaccard of two SORTED distinct-hash arrays (verification stage,

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.conf.GraftConf
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable.ArrayBuffer
@@ -11,8 +11,11 @@ import scala.collection.mutable.ArrayBuffer
   * The reference materializes per-table hash buckets (CSR scatter,
   * `/root/reference/hashIndex/StdHashIndex.h:31-74`) and probes them per
   * query; for all-pairs dedup the bucket directory is never materialized —
-  * the `groupBy(band_key)` shuffle IS the hash table, and each group emits
-  * its member pairs directly (SURVEY §2.4/§7.4).
+  * the `groupByKey(band_key)` shuffle IS the hash table, and each group
+  * emits its member pairs directly (SURVEY §2.4/§7.4). Band keys are
+  * family-salted upstream, so the group key is a single primitive Long;
+  * family provenance travels as the `src` bit ([[Signatures.SrcText]] etc.)
+  * and pairs aggregate it with `bit_or`.
   *
   * Skew (the 10^12-scale hazard the single-node reference never faced): a
   * bucket of size s emits O(s²) pairs; a hot key (e.g. empty-transcript
@@ -26,22 +29,30 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CandidatePairs {
 
-  /** bands: (src: String, band_key: Long, clip_id: String) →
-    * pairs: (a, b, src, capped) with a < b, distinct per src. */
+  /** bands: (band_key: Long, src: Int, clip_id: String) →
+    * RAW pair stream (a, b, sources: Int bitmask, capped) with a < b; NOT
+    * deduplicated across buckets — the caller's final groupBy(a, b)
+    * (DedupPipeline's candidates stage) is the single dedup shuffle for all
+    * candidate streams. */
   def fromBands(spark: SparkSession, bands: DataFrame, conf: GraftConf): DataFrame = {
     import spark.implicits._
     val cap = conf.bucketCap
     val width = conf.chainWidth
     val hardStop = 4 * 1000 * 1000 // absolute group-buffer safety bound
     bands
-      .select($"src", $"band_key", $"clip_id")
-      .as[(String, Long, String)]
-      .groupByKey { case (src, key, _) => (src, key) }
-      .flatMapGroups { (key: (String, Long), rows: Iterator[(String, Long, String)]) =>
-        val src = key._1
+      .select($"band_key", $"src", $"clip_id")
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, rows: Iterator[(Long, Int, String)]) =>
         val ids = new ArrayBuffer[String]()
+        var src = 0
         var n = 0
-        while (rows.hasNext && n < hardStop) { ids += rows.next()._3; n += 1 }
+        while (rows.hasNext && n < hardStop) {
+          val r = rows.next()
+          ids += r._3
+          src |= r._2
+          n += 1
+        }
         if (ids.length < 2) Iterator.empty
         else {
           val sorted = ids.distinct.sorted
@@ -60,8 +71,6 @@ object CandidatePairs {
           }
         }
       }
-      .toDF("a", "b", "src", "capped")
-      .groupBy($"a", $"b")
-      .agg(collect_set($"src").as("sources"), max($"capped").as("capped"))
+      .toDF("a", "b", "sources", "capped")
   }
 }

@@ -46,27 +46,37 @@ object Components {
     val shuffleWas = spark.conf.getOption("spark.sql.shuffle.partitions").getOrElse("200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // edges are distinct unordered pairs upstream (candidates are
+      // groupBy(a,b)-deduped), so the symmetrized list needs no distinct —
+      // and min-aggregation is multiset-safe anyway.
       val und = edges.select($"a".as("src"), $"b".as("dst"))
         .union(edges.select($"b".as("src"), $"a".as("dst")))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // The loop's working set is O(|edges|) — orders of magnitude smaller
       // than the corpus after endpoint restriction. Size its shuffles by its
-      // own data volume (≈250k rows/partition), not the session default: at
-      // test scale this collapses 64-partition microshuffles to a handful,
-      // at 10^12 scale it grows as needed. Restored before the final
-      // corpus-sized join below.
+      // own data volume (≈50k rows/partition), clamped to [4, 8×cores]: at
+      // test scale this collapses session-default microshuffles to a
+      // handful, while edge volumes large enough to be real work still
+      // spread across every core. Restored before the final corpus-sized
+      // join below.
       val undRows = und.count()
-      val loopParts = math.min(4096L, math.max(4L, undRows / 250000L)).toInt
+      val cores = spark.sparkContext.defaultParallelism
+      val loopParts = math.min(math.max(8L * cores, 4L),
+        math.max(4L, undRows / 50000L)).toInt
       spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
       def fingerprint(labels: DataFrame): Long =
         labels.agg(coalesce(expr("bit_xor(xxhash64(clip_id, label))"), lit(0L)))
           .head().getLong(0)
 
-      var labels = und.select($"src".as("clip_id")).distinct()
-        .select($"clip_id", $"clip_id".as("label"))
+      // Iteration 1 folded into one aggregation: with identity initial
+      // labels, min-over-closed-neighborhood(v) = least(v, min(neighbors)).
+      // Every endpoint appears as dst of the symmetrized list, so this
+      // covers the whole endpoint vertex set without a separate
+      // distinct + identity-label pass.
+      var labels = und.groupBy($"dst".as("clip_id")).agg(min($"src").as("m"))
+        .select($"clip_id", least($"clip_id", $"m").as("label"))
         .localCheckpoint(true)
       var fp = fingerprint(labels)
 

@@ -48,27 +48,22 @@ object DedupPipeline {
     })
 
     val bands = stage("bands") {
-      val text = signatures
-        .select($"clip_id", posexplode($"text_bands").as(Seq("band_idx", "band_key")))
-        .select(lit("text").as("src"), $"band_key", $"clip_id")
-      val audio = signatures
-        .select($"clip_id", posexplode($"audio_bands").as(Seq("band_idx", "band_key")))
-        .select(lit("audio").as("src"), $"band_key", $"clip_id")
-      val sim = signatures
-        .select($"clip_id", posexplode($"simhash_bands").as(Seq("band_idx", "band_key")))
-        .select(lit("simhash").as("src"), $"band_key", $"clip_id")
-      text.union(audio).union(sim)
+      // keys are family-salted in the kernel, so one explode covers all
+      // band families (text/audio/simhash); src carries provenance bits
+      signatures
+        .select($"clip_id", explode(arrays_zip($"band_keys", $"band_srcs")).as("z"))
+        .select($"z.band_keys".as("band_key"), $"z.band_srcs".as("src"), $"clip_id")
     }
 
     val candidates = stage("candidates") {
       CandidatePairs.fromBands(spark, bands, conf)
         .union(SuffixDups.candidates(spark, clips, conf))
         .groupBy($"a", $"b")
-        .agg(flatten(collect_set($"sources")).as("sources"), max($"capped").as("capped"))
+        .agg(expr("bit_or(sources)").as("sources"), max($"capped").as("capped"))
     }
 
     val verified = materialized(stage("verified") {
-      VerifyPairs.verify(spark, candidates, signatures, clips, conf)
+      VerifyPairs.verify(spark, candidates, signatures, conf)
     })
 
     val clusters = stage("clusters") {

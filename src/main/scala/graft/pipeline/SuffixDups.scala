@@ -12,13 +12,12 @@ import org.apache.spark.sql.functions._
   * Seed-and-extend design (the scalable reading of SURVEY §7.5): every
   * document emits a hash for each of its W-token windows (O(total tokens)
   * rows — the suffix-array analogue of indexing every suffix, truncated to
-  * W-token prefixes); every document at least W tokens long emits the hash
-  * of its FIRST W-token window as its probe seed. Seeds equi-join windows →
-  * candidates, then exact containment verification (operator-Q7 style) on
-  * the joined texts. Window rows are distinct per (hash, doc) so a repeated
-  * phrase costs one row; the hot-phrase skew hazard is bounded by the
-  * candidate-pair path's verification (join fanout is bucket-sized, and
-  * verified edges are deduplicated).
+  * W-token prefixes); the FIRST window doubles as the document's probe seed
+  * (`is_seed`), so one pass over the corpus produces both sides of the
+  * seed↔window equi-join. Candidates then get exact containment
+  * verification in [[VerifyPairs]] (operator-Q7 style). Window rows are
+  * distinct per (hash, doc) so a repeated phrase costs one row; hot-phrase
+  * buckets fall back to the same chain-pair capping as the band shuffle.
   *
   * Documents shorter than W tokens are out of scope of this pass (exact
   * equality and MinHash cover them); documented limitation.
@@ -26,45 +25,35 @@ import org.apache.spark.sql.functions._
 object SuffixDups {
 
   /** clips (clip_id, transcript) → candidate substring edges
-    * (a, b, sources=["substring-seed"], capped=false), a's text potentially
-    * inside b's, a != b. Verification happens in VerifyPairs. */
+    * (a, b, sources = SrcSubstring, capped), a's text potentially inside
+    * b's, a != b. Verification happens in VerifyPairs. */
   def candidates(spark: SparkSession, clips: DataFrame, conf: GraftConf): DataFrame = {
     import spark.implicits._
     val w = conf.substringWindow
     val seed = conf.seed
 
-    val docs = clips.select($"clip_id", $"transcript").as[(String, String)]
-
-    // (windowHash, clip_id) for every W-token window, distinct
-    val windows = docs.flatMap { case (id, text) =>
-      val toks = graft.kernel.Shingles.tokens(Option(text).getOrElse(""))
-      if (toks.length < w) Iterator.empty
-      else {
-        val set = new java.util.HashSet[java.lang.Long]()
-        val out = Vector.newBuilder[(Long, String)]
-        var i = 0
-        while (i + w <= toks.length) {
-          var h = seed ^ 0x50ff1eL
-          var j = 0
-          while (j < w) { h = Hashing.combine(h, Hashing.hashString(toks(i + j), seed)); j += 1 }
-          if (set.add(h)) out += ((h, id))
-          i += 1
+    // one pass: every W-token window (distinct per doc), first window flagged
+    val tagged = clips.select($"clip_id", $"transcript").as[(String, String)]
+      .flatMap { case (id, text) =>
+        val toks = graft.kernel.Shingles.tokens(Option(text).getOrElse(""))
+        if (toks.length < w) Iterator.empty
+        else {
+          val seen = new java.util.HashMap[java.lang.Long, java.lang.Boolean]()
+          var i = 0
+          while (i + w <= toks.length) {
+            var h = seed ^ 0x50ff1eL
+            var j = 0
+            while (j < w) { h = Hashing.combine(h, Hashing.hashString(toks(i + j), seed)); j += 1 }
+            val isSeed = i == 0
+            val prev = seen.get(h)
+            if (prev == null || (!prev && isSeed)) seen.put(h, isSeed)
+            i += 1
+          }
+          val out = Vector.newBuilder[(Long, String, Boolean)]
+          seen.forEach((h, s) => out += ((h.longValue, id, s.booleanValue)))
+          out.result().iterator
         }
-        out.result().iterator
       }
-    }.toDF("wh", "b")
-
-    // probe seed: first W-token window of each sufficiently long doc
-    val seeds = docs.flatMap { case (id, text) =>
-      val toks = graft.kernel.Shingles.tokens(Option(text).getOrElse(""))
-      if (toks.length < w) Iterator.empty
-      else {
-        var h = seed ^ 0x50ff1eL
-        var j = 0
-        while (j < w) { h = Hashing.combine(h, Hashing.hashString(toks(j), seed)); j += 1 }
-        Iterator.single((h, id))
-      }
-    }.toDF("wh", "a")
 
     // Hot-phrase skew: a window hash shared by s documents would fan out
     // O(s·seeds) join rows. Same policy as CandidatePairs: small groups emit
@@ -73,11 +62,7 @@ object SuffixDups {
     // blowup bounded, flagged `capped`).
     val cap = conf.bucketCap
     val width = conf.chainWidth
-    val tagged = windows.select($"wh", $"b".as("id"), lit(false).as("is_seed"))
-      .union(seeds.select($"wh", $"a".as("id"), lit(true).as("is_seed")))
     val pairs = tagged
-      .groupBy($"wh", $"id").agg(max($"is_seed").as("is_seed"))
-      .as[(Long, String, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, rows: Iterator[(Long, String, Boolean)]) =>
         val members = rows.map(r => (r._2, r._3)).toArray.distinct.sortBy(_._1)
@@ -96,9 +81,10 @@ object SuffixDups {
         }
       }
 
+    // raw pair stream: the caller's final groupBy(a, b) dedups across all
+    // candidate streams in one shuffle
     pairs.toDF("a", "b", "capped")
-      .groupBy($"a", $"b").agg(max($"capped").as("capped"))
-      .withColumn("sources", array(lit("substring-seed")))
+      .withColumn("sources", lit(Signatures.SrcSubstring))
       .select($"a", $"b", $"sources", $"capped")
   }
 }

@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.conf.GraftConf
+import graft.pipeline.DedupPipeline
+import graft.synth.ClipTableGen
+import org.apache.spark.sql.SparkSession
+
+/** Scaling probe: materialize the input once, then run the full pipeline at
+  * each core count given, printing wall seconds + GC time deltas.
+  * Usage: runMain graft.tools.ScaleProbe nClips c1 c2 c3... */
+object ScaleProbe {
+  private def session(cores: Int): SparkSession = {
+    val aqe = sys.env.getOrElse("GRAFT_PROBE_AQE", "true")
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"probe-$cores")
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.ui.enabled", "false")
+    sys.env.get("GRAFT_PROBE_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
+    sys.env.get("GRAFT_PROBE_BROADCAST").foreach(v => b.config("spark.sql.autoBroadcastJoinThreshold", v))
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toInt
+    val coreList = args.drop(1).map(_.toInt)
+    val base = sys.env.get("GRAFT_PROBE_LOCAL_DIR")
+      .map(d => java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(d), "graft-probe"))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-probe"))
+    val dir = base.toString + "/clips"
+    val s0 = session(coreList.max)
+    ClipTableGen.table(s0, n).write.mode("overwrite").parquet(dir)
+    // warmup
+    DedupPipeline.run(s0, s0.read.parquet(dir).limit(2000), GraftConf()).clusters.count()
+    s0.stop()
+
+    coreList.foreach { cores =>
+      val s = session(cores)
+      val gc0 = gcMillis
+      val t0 = System.nanoTime()
+      DedupPipeline.run(s, s.read.parquet(dir), GraftConf()).clusters.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis - gc0) / 1000.0
+      println(f"[probe] cores=$cores%2d wall=$wall%7.2fs gc=$gc%6.2fs clips/sec=${n / wall}%8.1f")
+      s.stop()
+    }
+  }
+}

@@ -48,16 +48,10 @@ object StageBench {
     }
 
     val bands = time("bands") {
-      val text = signatures
-        .select($"clip_id", posexplode($"text_bands").as(Seq("band_idx", "band_key")))
-        .select(lit("text").as("src"), $"band_key", $"clip_id")
-      val audio = signatures
-        .select($"clip_id", posexplode($"audio_bands").as(Seq("band_idx", "band_key")))
-        .select(lit("audio").as("src"), $"band_key", $"clip_id")
-      val sim = signatures
-        .select($"clip_id", posexplode($"simhash_bands").as(Seq("band_idx", "band_key")))
-        .select(lit("simhash").as("src"), $"band_key", $"clip_id")
-      val b = text.union(audio).union(sim).persist(StorageLevel.MEMORY_AND_DISK)
+      val b = signatures
+        .select($"clip_id", explode(arrays_zip($"band_keys", $"band_srcs")).as("z"))
+        .select($"z.band_keys".as("band_key"), $"z.band_srcs".as("src"), $"clip_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       b.count()
       b
     }
@@ -77,14 +71,14 @@ object StageBench {
     val candidates = time("cand_union") {
       val c = candBands.union(candSuffix)
         .groupBy($"a", $"b")
-        .agg(flatten(collect_set($"sources")).as("sources"), max($"capped").as("capped"))
+        .agg(expr("bit_or(sources)").as("sources"), max($"capped").as("capped"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       c.count()
       c
     }
 
     val verified = time("verified") {
-      val v = VerifyPairs.verify(spark, candidates, signatures, clips, conf)
+      val v = VerifyPairs.verify(spark, candidates, signatures, conf)
         .persist(StorageLevel.MEMORY_AND_DISK)
       v.count()
       v

@@ -211,4 +211,30 @@ class KernelSpec extends AnyFunSuite {
     assert(ss.indices.distinct.length === 16)
     assert(ss.indices.forall(i => i >= 0 && i < 64))
   }
+
+  test("short-domain audio feature path is bit-identical to the float path") {
+    // seeded pseudo-random int16 signal incl. extremes
+    val rnd = new scala.util.Random(42)
+    val shorts = Array.tabulate[Short](2048) { i =>
+      if (i == 0) Short.MinValue
+      else if (i == 1) Short.MaxValue
+      else (rnd.nextInt(65536) - 32768).toShort
+    }
+    val floats = shorts.map(_ / 32768.0f)
+    val a = graft.audio.AudioFeatures.frameTokens(floats)
+    val b = graft.audio.AudioFeatures.frameTokensFromShorts(shorts)
+    assert(a.toSeq === b.toSeq)
+    assert(graft.audio.AudioFeatures.shingles(floats, 4, 42L).toSeq ===
+      graft.audio.AudioFeatures.shinglesFromShorts(shorts, 4, 42L).toSeq)
+  }
+
+  test("decodeShorts agrees with decode on round-tripped WAV bytes") {
+    val samples = Array.tabulate[Short](512)(i => (math.sin(i * 0.1) * 20000).toShort)
+    val bytes = graft.audio.WavCodec.encode(samples, 16000)
+    val f = graft.audio.WavCodec.decode(bytes)
+    val s = graft.audio.WavCodec.decodeShorts(bytes)
+    assert(s.srHz === f.srHz)
+    assert(s.samples.toSeq === samples.toSeq)
+    assert(f.samples.toSeq === samples.map(_ / 32768.0f).toSeq)
+  }
 }
