@@ -16,6 +16,7 @@ object ScaleProbe {
       .appName(s"probe-$cores")
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)
       .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
     sys.env.get("GRAFT_PROBE_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
     sys.env.get("GRAFT_PROBE_BROADCAST").foreach(v => b.config("spark.sql.autoBroadcastJoinThreshold", v))
@@ -29,6 +30,12 @@ object ScaleProbe {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
   }
+
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
 
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt
@@ -46,11 +53,13 @@ object ScaleProbe {
     coreList.foreach { cores =>
       val s = session(cores)
       val gc0 = gcMillis
+      val cpu0 = cpuNanos
       val t0 = System.nanoTime()
       DedupPipeline.run(s, s.read.parquet(dir), GraftConf()).clusters.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val gc = (gcMillis - gc0) / 1000.0
-      println(f"[probe] cores=$cores%2d wall=$wall%7.2fs gc=$gc%6.2fs clips/sec=${n / wall}%8.1f")
+      val cpu = (cpuNanos - cpu0) / 1e9
+      println(f"[probe] cores=$cores%2d wall=$wall%7.2fs cpu=$cpu%8.2fs gc=$gc%6.2fs clips/sec=${n / wall}%8.1f")
       s.stop()
     }
   }

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.conf.GraftConf
+import graft.synth.ClipTableGen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties `.explain` should show at scale.
+  * These pin the plan shape so a regression (e.g. a select that defeats
+  * column pruning, or a lost broadcast) fails loudly. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  lazy val clipsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString + "/clips"
+    ClipTableGen.table(spark, 200).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("signature stage scan prunes to clip_id/bytes/transcript (sr_hz/dur_ms/codec never read)") {
+    val clips = spark.read.parquet(clipsDir)
+    val sig = Signatures.compute(spark, clips, GraftConf())
+    val scan = sig.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema"))
+    assert(scan.contains("clip_id") && scan.contains("bytes") && scan.contains("transcript"))
+    for (col <- Seq("sr_hz", "dur_ms", "codec"))
+      assert(!scan.contains(col), s"column $col should be pruned from the scan:\n$scan")
+  }
+
+  test("suffix pass scan prunes the bytes column (text-only stage never reads audio)") {
+    val clips = spark.read.parquet(clipsDir)
+    val cand = SuffixDups.candidates(spark, clips, GraftConf())
+    val scan = cand.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("bytes"), s"bytes should be pruned from the suffix scan:\n$scan")
+  }
+
+  test("relational join query uses a broadcast join for the small dimension side") {
+    val plan = graft.queries.RelQueries.queries("q_join_agg")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in plan:\n${plan.take(2000)}")
+  }
+
+  test("whole-stage codegen + partial aggregation cover the relational aggregate") {
+    val df = graft.queries.RelQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE finalizes the physical plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in simpleString
+    assert(plan.contains("*(1)"), s"expected codegen spans:\n${plan.take(2000)}")
+    assert(plan.contains("partial_sum"), s"expected map-side partial aggregation:\n${plan.take(2000)}")
+  }
+}
