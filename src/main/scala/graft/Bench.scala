@@ -108,6 +108,9 @@ object Bench {
     val cpsN = nClips / tN
     val cps4N = nClips / t4N
     val eff = (tN / t4N) / 4.0
+    // raw interleaved run times, for noise-spread transparency
+    val raw = times.map { case (c, t) => f"""{"cores":$c,"sec":$t%.3f}""" }
+      .mkString("[", ",", "]")
 
     val qs = (qTimes ++ Seq(
       s"dedup_pipeline_local$baseN" -> tN,
@@ -115,7 +118,7 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + tN + t4N
     val dedup =
-      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f}"""
+      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"raw_runs":$raw}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup}""")
   }
