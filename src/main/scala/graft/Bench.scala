@@ -72,6 +72,9 @@ object Bench {
 
     // ---- phase 1: headline queries --------------------------------------
     val spark1 = session(cpus)
+    // untimed session warmup so the first timed query doesn't absorb
+    // executor init + codegen compilation
+    try SparkEntry.queries("q1_agg")(spark1, sfDir).count() catch { case _: Throwable => () }
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

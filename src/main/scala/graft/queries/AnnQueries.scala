@@ -38,31 +38,39 @@ object AnnQueries {
   private def duckSgn(b: Int): String =
     s"CASE WHEN (${duckH60(s"concat('rp', '$b', '_', CAST(i AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
 
-  private def codesCte(codeTerm: Int => String): String = {
+  private def codesCte(codeTerm: Int => String, normExpr: String): String = {
     val code = (0 until EmbedQueries.CodeBits)
       .map(b => s"CASE WHEN ${codeTerm(b)} > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    s"codes AS (SELECT vec_id, embedding, CAST($code AS BIGINT) AS code FROM embeddings)"
+    // per-vector norm precomputed once (identical double fold as per-pair)
+    s"codes AS (SELECT vec_id, embedding, sqrt($normExpr) AS nrm, CAST($code AS BIGINT) AS code FROM embeddings)"
   }
 
   private val sparkCodes = codesCte(b =>
-    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + ${sparkSgn(b)} * CAST(element_at(embedding, i) AS DOUBLE))")
+    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + ${sparkSgn(b)} * CAST(element_at(embedding, i) AS DOUBLE))",
+    sparkDot("embedding", "embedding"))
   private val duckCodes = codesCte(b =>
-    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ${duckSgn(b)} * CAST(embedding[i] AS DOUBLE)))")
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ${duckSgn(b)} * CAST(embedding[i] AS DOUBLE)))",
+    duckDot("embedding", "embedding"))
 
-  private def annKnnSql(codes: String, xor: (String, String) => String,
+  /** Shared CTE chain on top of `codes`: probe candidates → ranked ANN. */
+  private def annCtes(xor: (String, String) => String,
       dot: (String, String) => String): String =
-    s"""WITH $codes,
-       |q AS (SELECT vec_id, embedding, code FROM codes WHERE vec_id % $QueryStride = 0),
+    s"""q AS (SELECT * FROM codes WHERE vec_id % $QueryStride = 0),
        |cand AS (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ${dot("q.embedding", "b.embedding")} / (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) AS score
+       |    ${dot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
        |  FROM q JOIN codes b ON q.vec_id <> b.vec_id
        |    AND bit_count(${xor("q.code", "b.code")}) <= $ProbeRadius),
        |ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  private def annKnnSql(codes: String, xor: (String, String) => String,
+      dot: (String, String) => String): String =
+    s"""WITH $codes,
+       |${annCtes(xor, dot)}
        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
@@ -73,23 +81,21 @@ object AnnQueries {
     * (brute force, same tie rules as q_knn_cosine but k=TopK) the
     * Hamming-probe ANN recovered. */
   private def annRecallSql(codes: String, xor: (String, String) => String,
-      dot: (String, String) => String): String = {
-    val ann = annKnnSql(codes, xor, dot)
-    val exact =
-      s"""SELECT query_id, neighbor_id FROM (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      ${dot("q.embedding", "b.embedding")} / (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) DESC,
-         |      b.vec_id ASC) AS BIGINT) AS rank
-         |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id AND q.vec_id % $QueryStride = 0) t
-         |WHERE rank <= $TopK""".stripMargin
-    s"""WITH ann AS ($ann),
-       |exact AS ($exact)
+      dot: (String, String) => String): String =
+    s"""WITH $codes,
+       |${annCtes(xor, dot)},
+       |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) DESC,
+       |      b.vec_id ASC) AS BIGINT) AS rank
+       |  FROM q JOIN codes b ON q.vec_id <> b.vec_id) t
+       |WHERE rank <= $TopK)
        |SELECT exact.query_id AS query_id, COUNT(ann.neighbor_id) AS hits, COUNT(*) AS k
        |FROM exact LEFT JOIN ann
        |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
        |GROUP BY exact.query_id ORDER BY query_id""".stripMargin
-  }
 
   private val annRecallSparkSql = annRecallSql(sparkCodes, (a, b) => s"$a ^ $b", sparkDot)
   private val annRecallDuckSql = annRecallSql(duckCodes, (a, b) => s"xor($a, $b)", duckDot)

@@ -34,12 +34,18 @@ object EmbedQueries {
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def knnSql(scoreOf: String, asc: Boolean): String = {
+  private def knnSql(scoreOf: String, asc: Boolean, normExpr: String = ""): String = {
     val ord = if (asc) "ASC" else "DESC"
-    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $QueryStride = 0),
+    val base =
+      if (normExpr.isEmpty) "SELECT vec_id, embedding FROM embeddings"
+      // norms precomputed once per vector (identical double fold → identical
+      // value as recomputing per pair, at 1/|B| the cost)
+      else s"SELECT vec_id, embedding, sqrt($normExpr) AS nrm FROM embeddings"
+    s"""WITH base AS ($base),
+       |q AS (SELECT * FROM base WHERE vec_id % $QueryStride = 0),
        |scored AS (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $scoreOf AS score
-       |  FROM q JOIN embeddings b ON q.vec_id <> b.vec_id),
+       |  FROM q JOIN base b ON q.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score $ord, neighbor_id ASC) AS BIGINT) AS rank
@@ -49,11 +55,11 @@ object EmbedQueries {
   }
 
   private val knnCosSparkSql = knnSql(
-    s"${sparkDot("q.embedding", "b.embedding")} / (sqrt(${sparkDot("q.embedding", "q.embedding")}) * sqrt(${sparkDot("b.embedding", "b.embedding")}))",
-    asc = false)
+    s"${sparkDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm)",
+    asc = false, normExpr = sparkDot("embedding", "embedding"))
   private val knnCosDuckSql = knnSql(
-    s"${duckDot("q.embedding", "b.embedding")} / (sqrt(${duckDot("q.embedding", "q.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")}))",
-    asc = false)
+    s"${duckDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm)",
+    asc = false, normExpr = duckDot("embedding", "embedding"))
 
   private def sparkDist2(a: String, b: String): String =
     s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE)) * (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE)))"
