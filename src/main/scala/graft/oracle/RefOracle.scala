@@ -133,6 +133,14 @@ object RefOracle {
   private def orderPair(x: String, y: String): (String, String) =
     if (x < y) (x, y) else (y, x)
 
-  private def isTokenSubstring(inner: String, outer: String): Boolean =
-    graft.pipeline.VerifyPairs.isTokenSubstring(inner, outer)
+  /** String-domain containment (the engine's verify uses the token-hash
+    * equivalent, [[graft.pipeline.VerifyPairs.isSubSequence]]). */
+  private def isTokenSubstring(inner: String, outer: String): Boolean = {
+    if (inner == null || outer == null) false
+    else {
+      val in = inner.trim
+      val out = outer.trim
+      in.nonEmpty && out.nonEmpty && (" " + out + " ").contains(" " + in + " ")
+    }
+  }
 }

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.conf.GraftConf
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Candidate-pair verification — reference operator Q7: LSH recall is
   * probabilistic, so every candidate is re-checked exactly before it becomes
@@ -10,13 +11,22 @@ import org.apache.spark.sql.functions._
   * re-rank of hash candidates; here exact shingle Jaccard / token-substring
   * containment, the dedup metrics).
   *
-  * Scale design: the pair set joins back to the SIGNATURE table only (two
-  * joins), which carries the sorted shingle-hash sets (~1 KB/row) and the
-  * ordered token-hash sequence — the multi-KB `bytes` column never travels
-  * through a verification shuffle, audio is never re-decoded, and substring
-  * containment is a subarray search over token hashes. All three exact
-  * checks (text Jaccard, audio Jaccard, substring containment) run on every
-  * candidate, matching the reference-oracle semantics exactly.
+  * Scale design — two phases, both joining the SIGNATURE table only (the
+  * multi-KB `bytes` column never travels through a verification shuffle and
+  * audio is never re-decoded):
+  *
+  *  1. TEXT phase: pairs join the slim text columns (sorted text-shingle
+  *     hashes + ordered token hashes, ~0.6 KB/side) for exact text Jaccard
+  *     and substring containment (a subarray search over token hashes).
+  *  2. AUDIO phase: only pairs the text phase did NOT accept join the audio
+  *     shingle sets (~1 KB/side) for exact audio Jaccard. In a dup-heavy
+  *     corpus most true pairs are text-accepted, so the heavy payload ships
+  *     for a small residue.
+  *
+  * The accept rule is unchanged (text ≥ θ_text OR audio ≥ θ_audio OR
+  * substring — audio can only ADD accepts, so skipping it for already-
+  * accepted pairs cannot change the edge set); `audio_jaccard` is reported
+  * as 0.0 for pairs that short-circuited.
   */
 object VerifyPairs {
 
@@ -29,34 +39,51 @@ object VerifyPairs {
     import spark.implicits._
     val c = conf
 
-    val sigSide = signatures.select($"clip_id", $"text_sh", $"audio_sh", $"toks_h")
-
-    pairs
-      .join(sigSide.select($"clip_id".as("a"), $"text_sh".as("tsh_a"), $"audio_sh".as("ash_a"), $"toks_h".as("th_a")), Seq("a"))
-      .join(sigSide.select($"clip_id".as("b"), $"text_sh".as("tsh_b"), $"audio_sh".as("ash_b"), $"toks_h".as("th_b")), Seq("b"))
-      .select($"a", $"b", $"tsh_a", $"tsh_b", $"ash_a", $"ash_b", $"th_a", $"th_b")
-      .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long], Array[Long], Array[Long])]
-      .map { case (a, b, tshA, tshB, ashA, ashB, thA, thB) =>
+    val textSide = signatures.select($"clip_id", $"text_sh", $"toks_h")
+    val textPhase = pairs
+      .join(textSide.select($"clip_id".as("a"), $"text_sh".as("tsh_a"), $"toks_h".as("th_a")), Seq("a"))
+      .join(textSide.select($"clip_id".as("b"), $"text_sh".as("tsh_b"), $"toks_h".as("th_b")), Seq("b"))
+      .select($"a", $"b", $"tsh_a", $"tsh_b", $"th_a", $"th_b")
+      .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .map { case (a, b, tshA, tshB, thA, thB) =>
         val textJ = graft.kernel.Shingles.jaccardSorted(tshA, tshB)
+        val sub = isSubSequence(thA, thB) || isSubSequence(thB, thA)
+        (a, b, textJ, sub, textJ >= c.textJaccardThreshold || sub)
+      }
+      .toDF("a", "b", "text_jaccard", "substring", "text_accepted")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val audioSide = signatures.select($"clip_id", $"audio_sh")
+    val audioPhase = textPhase.filter(!$"text_accepted")
+      .select($"a", $"b")
+      .join(audioSide.select($"clip_id".as("a"), $"audio_sh".as("ash_a")), Seq("a"))
+      .join(audioSide.select($"clip_id".as("b"), $"audio_sh".as("ash_b")), Seq("b"))
+      .select($"a", $"b", $"ash_a", $"ash_b")
+      .as[(String, String, Array[Long], Array[Long])]
+      .map { case (a, b, ashA, ashB) =>
         val audioJ =
           if (ashA.nonEmpty && ashB.nonEmpty) graft.kernel.Shingles.jaccardSorted(ashA, ashB)
           else 0.0
-        val sub = isSubSequence(thA, thB) || isSubSequence(thB, thA)
-        val accepted = textJ >= c.textJaccardThreshold ||
-          (ashA.nonEmpty && ashB.nonEmpty && audioJ >= c.audioJaccardThreshold) || sub
-        val reasons = Seq(
-          if (textJ >= c.textJaccardThreshold) "text" else null,
-          if (audioJ >= c.audioJaccardThreshold) "audio" else null,
-          if (sub) "substring" else null).filter(_ != null)
-        (a, b, textJ, audioJ, sub, accepted, reasons)
+        (a, b, audioJ)
       }
-      .toDF("a", "b", "text_jaccard", "audio_jaccard", "substring", "accepted", "reasons")
+      .toDF("a", "b", "audio_jaccard")
+
+    textPhase
+      .join(audioPhase, Seq("a", "b"), "left")
+      .select($"a", $"b", $"text_jaccard",
+        coalesce($"audio_jaccard", lit(0.0)).as("audio_jaccard"),
+        $"substring",
+        ($"text_accepted" || coalesce($"audio_jaccard", lit(0.0)) >= c.audioJaccardThreshold).as("accepted"),
+        array_compact(array(
+          when($"text_jaccard" >= c.textJaccardThreshold, "text"),
+          when(coalesce($"audio_jaccard", lit(0.0)) >= c.audioJaccardThreshold, "audio"),
+          when($"substring", "substring"))).as("reasons"))
   }
 
   /** inner's token-hash sequence appears contiguously in outer's — the
-    * token-domain reading of [[isTokenSubstring]] (64-bit token hashes make
-    * a false positive a ~2^-64 event). Empty inner never matches (a clip
-    * with no transcript is not "contained" in everything). */
+    * token-domain exact-substring check (64-bit token hashes make a false
+    * positive a ~2^-64 event). Empty inner never matches (a clip with no
+    * transcript is not "contained" in everything). */
   def isSubSequence(inner: Array[Long], outer: Array[Long]): Boolean = {
     if (inner.isEmpty || inner.length > outer.length) return false
     var i = 0
@@ -68,15 +95,5 @@ object VerifyPairs {
       i += 1
     }
     false
-  }
-
-  /** inner's token sequence appears contiguously in outer's. */
-  def isTokenSubstring(inner: String, outer: String): Boolean = {
-    if (inner == null || outer == null) false
-    else {
-      val in = inner.trim
-      val out = outer.trim
-      in.nonEmpty && out.nonEmpty && (" " + out + " ").contains(" " + in + " ")
-    }
   }
 }
