@@ -1,89 +1,144 @@
 package graft.queries
 
+import graft.kernel.Probes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import CrossSql._
 
 /** The reference's production read path (`batchQuery`, operator Q5,
   * `/root/reference/hashIndex/HashCollection.h:232-295`) re-expressed
   * end-to-end as one relational query over `embeddings`, cross-engine
-  * checkable:
+  * checkable — and, on the Spark side, executed with the reference's ACTUAL
+  * query mechanism:
   *
-  *   1. hash queries + base with the H1 sign-projection code (q_ann_codes'
-  *      md5-parity projection);
-  *   2. candidate gather = Hamming-ball probe: candidates within Hamming
-  *      radius `ProbeRadius` of the query code (operators Q1/Q2's
-  *      `code ^ mask` bucket probes, expressed as the equivalent
-  *      bit_count(xor) ≤ r predicate; P1/P2 enumerate the same ball);
+  *   1. hash queries + base with the H1 sign-projection code (the hoisted
+  *      md5-parity matrix of [[CrossSql.sparkSgnCte]]);
+  *   2. candidate gather = EXECUTED MULTIPROBE: the 16-bit code is split
+  *      into [[Bands]] sub-codes (H6 banding, [[graft.kernel.BitPack.bands]]
+  *      semantics), each band's bucket key is probed at every XOR mask of
+  *      the expanding Hamming ball [[BandProbeMasks]]
+  *      ([[graft.kernel.Probes.ballMasks]] — operator P2), and probes
+  *      equi-join bucket members on `(band_idx, probed_key)` — operators
+  *      Q1/Q2's `bucket[hashCode ^ mask]` lookups
+  *      (`/root/reference/hashIndex/StdHashIndex.h:129-157`) as a shuffled
+  *      hash join instead of a pairwise theta-join. Candidates from all
+  *      bands union via DISTINCT (Q4, `HashCollection.h:196-210`).
+  *      Completeness: a pair within global Hamming distance [[ProbeRadius]]
+  *      must agree within [[BandRadius]] on ≥1 band (pigeonhole:
+  *      4 bands all differing by ≥2 ⇒ total ≥ 8 > 6), so the probe join
+  *      dominates the ball and the post-join `bit_count(xor) ≤ r` filter
+  *      restores exactness;
   *   3. exact re-rank by cosine (Q7) + per-query top-k rank window (Q8).
+  *
+  * The DuckDB oracle keeps the direct `bit_count(xor(a,b)) ≤ r` theta
+  * formulation — an independent spelling of the same candidate set, so the
+  * cross-engine hash compare also certifies the multiprobe plan's
+  * completeness argument on real data.
   *
   * q_ann_recall then scores the ANN result against the brute-force kNN —
   * the HashError evaluation operator (O2,
   * `/root/reference/hashBitOptimizers/HashError.h:29-83`) as a query:
-  * per-query hit count at k, all-integer outputs.
+  * per-query hit count at k, all-integer outputs. (Its ground-truth CTE is
+  * the deliberate brute-force baseline, the reference's own ground-truth
+  * path `TestLSH.h:150-180`.)
   */
 object AnnQueries {
 
   val Dim = EmbedQueries.Dim
   val TopK = 5
-  val ProbeRadius = 6 // of CodeBits=16
+  val ProbeRadius = 6 // global Hamming radius over CodeBits=16
   val QueryStride = EmbedQueries.QueryStride
+
+  /** Banding of the 16-bit code for the probe join. At production scale the
+    * same plan runs with 64-bit codes in 4×16-bit bands and a per-band ball
+    * of radius floor(r/4) — key cardinality 2^16 per band keeps the shuffle
+    * well spread; the join/probe shape is scale-free. */
+  val Bands = 4
+  val BandBits: Int = EmbedQueries.CodeBits / Bands
+  /** Pigeonhole per-band radius: if every band differs by more than
+    * floor(ProbeRadius/Bands), the total exceeds ProbeRadius. */
+  val BandRadius: Int = ProbeRadius / Bands
+  /** P2 expanding-ball XOR masks actually executed in the plan. */
+  val BandProbeMasks: Array[Long] = Probes.ballMasks(BandBits, BandRadius)
 
   private def sparkDot(a: String, b: String): String =
     s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))"
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def sparkSgn(b: Int): String =
-    s"CASE WHEN (${sparkH60(s"concat('rp', '$b', '_', CAST(i AS STRING))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
-  private def duckSgn(b: Int): String =
-    s"CASE WHEN (${duckH60(s"concat('rp', '$b', '_', CAST(i AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
-
-  private def codesCte(codeTerm: Int => String, normExpr: String): String = {
-    val code = (0 until EmbedQueries.CodeBits)
-      .map(b => s"CASE WHEN ${codeTerm(b)} > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
+  private def codesCte(bitDot: Int => String, normExpr: String): String =
     // per-vector norm precomputed once (identical double fold as per-pair)
-    s"codes AS (SELECT vec_id, embedding, sqrt($normExpr) AS nrm, CAST($code AS BIGINT) AS code FROM embeddings)"
+    s"codes AS (SELECT vec_id, embedding, sqrt($normExpr) AS nrm, CAST(${EmbedQueries.codeExpr(bitDot)} AS BIGINT) AS code FROM embeddings CROSS JOIN sgn)"
+
+  private val sparkCodes = codesCte(EmbedQueries.sparkBitDot, sparkDot("embedding", "embedding"))
+  private val duckCodes = codesCte(EmbedQueries.duckBitDot, duckDot("embedding", "embedding"))
+
+  private val sparkWith =
+    s"${sparkSgnCte("rp", EmbedQueries.CodeBits, Dim)},\n$sparkCodes"
+  private val duckWith =
+    s"${duckSgnCte("rp", EmbedQueries.CodeBits, Dim)},\n$duckCodes"
+
+  /** Spark CTE chain on top of `codes`: banded multiprobe equi-join →
+    * exact filter + re-rank (see class doc, step 2). */
+  private val sparkAnnCtes: String = {
+    val bandMask = (1L << BandBits) - 1
+    val probes = BandProbeMasks.map(m => s"CAST($m AS BIGINT)").mkString(", ")
+    s"""q AS (SELECT * FROM codes WHERE vec_id % $QueryStride = 0),
+       |bb AS (
+       |  SELECT vec_id, band_idx, shiftright(code, band_idx * $BandBits) & $bandMask AS band_key
+       |  FROM codes LATERAL VIEW explode(sequence(0, ${Bands - 1})) tb AS band_idx),
+       |qp AS (
+       |  SELECT vec_id, band_idx,
+       |    (shiftright(code, band_idx * $BandBits) & $bandMask) ^ pm AS band_key
+       |  FROM q LATERAL VIEW explode(sequence(0, ${Bands - 1})) tb AS band_idx
+       |       LATERAL VIEW explode(array($probes)) tm AS pm),
+       |cand_ids AS (
+       |  SELECT DISTINCT qp.vec_id AS query_id, bb.vec_id AS neighbor_id
+       |  FROM qp JOIN bb ON qp.band_idx = bb.band_idx AND qp.band_key = bb.band_key
+       |  WHERE qp.vec_id <> bb.vec_id),
+       |cand AS (
+       |  SELECT ci.query_id, ci.neighbor_id,
+       |    ${sparkDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
+       |  FROM cand_ids ci
+       |  JOIN q ON q.vec_id = ci.query_id
+       |  JOIN codes b ON b.vec_id = ci.neighbor_id
+       |  WHERE bit_count(q.code ^ b.code) <= $ProbeRadius),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM cand)""".stripMargin
   }
 
-  private val sparkCodes = codesCte(b =>
-    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + ${sparkSgn(b)} * CAST(element_at(embedding, i) AS DOUBLE))",
-    sparkDot("embedding", "embedding"))
-  private val duckCodes = codesCte(b =>
-    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ${duckSgn(b)} * CAST(embedding[i] AS DOUBLE)))",
-    duckDot("embedding", "embedding"))
-
-  /** Shared CTE chain on top of `codes`: probe candidates → ranked ANN. */
-  private def annCtes(xor: (String, String) => String,
-      dot: (String, String) => String): String =
+  /** DuckDB oracle chain: the same candidate set spelled as the direct
+    * Hamming predicate (independent of the probe mechanism). */
+  private val duckAnnCtes: String =
     s"""q AS (SELECT * FROM codes WHERE vec_id % $QueryStride = 0),
        |cand AS (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ${dot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
+       |    ${duckDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
        |  FROM q JOIN codes b ON q.vec_id <> b.vec_id
-       |    AND bit_count(${xor("q.code", "b.code")}) <= $ProbeRadius),
+       |    AND bit_count(xor(q.code, b.code)) <= $ProbeRadius),
        |ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
        |  FROM cand)""".stripMargin
 
-  private def annKnnSql(codes: String, xor: (String, String) => String,
-      dot: (String, String) => String): String =
-    s"""WITH $codes,
-       |${annCtes(xor, dot)}
+  private def annKnnSql(withCtes: String, annCtes: String): String =
+    s"""WITH $withCtes,
+       |$annCtes
        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  private val annKnnSparkSql = annKnnSql(sparkCodes, (a, b) => s"$a ^ $b", sparkDot)
-  private val annKnnDuckSql = annKnnSql(duckCodes, (a, b) => s"xor($a, $b)", duckDot)
+  private val annKnnSparkSql = annKnnSql(sparkWith, sparkAnnCtes)
+  private val annKnnDuckSql = annKnnSql(duckWith, duckAnnCtes)
 
   /** O2 HashError as a query: per query point, how many of the exact top-k
     * (brute force, same tie rules as q_knn_cosine but k=TopK) the
-    * Hamming-probe ANN recovered. */
-  private def annRecallSql(codes: String, xor: (String, String) => String,
+    * multiprobe ANN recovered. The `exact` CTE is the brute-force
+    * ground-truth baseline by design. */
+  private def annRecallSql(withCtes: String, annCtes: String,
       dot: (String, String) => String): String =
-    s"""WITH $codes,
-       |${annCtes(xor, dot)},
+    s"""WITH $withCtes,
+       |$annCtes,
        |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK),
        |exact AS (SELECT query_id, neighbor_id FROM (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -97,8 +152,8 @@ object AnnQueries {
        |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
        |GROUP BY exact.query_id ORDER BY query_id""".stripMargin
 
-  private val annRecallSparkSql = annRecallSql(sparkCodes, (a, b) => s"$a ^ $b", sparkDot)
-  private val annRecallDuckSql = annRecallSql(duckCodes, (a, b) => s"xor($a, $b)", duckDot)
+  private val annRecallSparkSql = annRecallSql(sparkWith, sparkAnnCtes, sparkDot)
+  private val annRecallDuckSql = annRecallSql(duckWith, duckAnnCtes, duckDot)
 
   private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
     view(spark, dir, "embeddings")

@@ -79,6 +79,19 @@ object CrossSql {
        |    ${duckH60(s"concat(CAST(perm // $Rows AS VARCHAR), '|', string_agg(concat(lpad(CAST(perm AS VARCHAR), 2, '0'), ':', CAST(minhash AS VARCHAR)), ',' ORDER BY perm))")} AS band_key
        |  FROM mh GROUP BY doc_id, perm // $Rows)""".stripMargin
 
+  /** Hoisted ±1 sign-matrix CTE `sgn(m)`: `m[b+1][j] ∈ {−1,+1}` from md5
+    * parity of "<tag><b>_<j>" — the cross-engine stand-in for the reference's
+    * seeded Gaussian projection rows
+    * (`/root/reference/hashFunction/RandomProjectionHashFunction.h:36-45`).
+    * One row, computed once and broadcast into the scan — md5 runs
+    * bits×dim times TOTAL instead of bits×dim times PER ROW (the round-1
+    * per-row-lambda md5 storm). */
+  def sparkSgnCte(tag: String, bits: Int, dim: Int): String =
+    s"""sgn AS (SELECT transform(sequence(0, ${bits - 1}), b -> transform(sequence(1, $dim), j -> CASE WHEN (${sparkH60(s"concat('$tag', CAST(b AS STRING), '_', CAST(j AS STRING))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS m)"""
+
+  def duckSgnCte(tag: String, bits: Int, dim: Int): String =
+    s"""sgn AS (SELECT list_transform(range(0, $bits), b -> list_transform(range(1, ${dim + 1}), j -> CASE WHEN (${duckH60(s"concat('$tag', CAST(b AS VARCHAR), '_', CAST(j AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS m)"""
+
   /** Register `<dir>/<table>.parquet` as a temp view named `table`. */
   def view(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$table.parquet")

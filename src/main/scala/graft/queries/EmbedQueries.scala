@@ -76,28 +76,32 @@ object EmbedQueries {
     s"""SELECT vec_id, CAST(floor(1000000 * sqrt(${duckDot("embedding", "embedding")})) AS BIGINT) AS norm_x1e6
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
-  /** ±1 sign for projection row `b`, dimension `j` (1-based): parity of the
-    * shared md5-family hash of "rp<b>_<j>". */
-  private def sparkSgn(b: Int, j: String): String =
-    s"CASE WHEN (${sparkH60(s"concat('rp', '$b', '_', CAST($j AS STRING))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
-  private def duckSgn(b: Int, j: String): String =
-    s"CASE WHEN (${duckH60(s"concat('rp', '$b', '_', CAST($j AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+  /** Signed projection of row b against the hoisted sign matrix `m`
+    * ([[CrossSql.sparkSgnCte]], tag "rp"): the H1 bit dot product as an
+    * ordered fold — identical values to deriving each ±1 inline, but the
+    * md5 family is evaluated once per query instead of once per row. */
+  private[queries] def sparkBitDot(b: Int): String =
+    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + element_at(element_at(m, ${b + 1}), i) * CAST(element_at(embedding, i) AS DOUBLE))"
+  private[queries] def duckBitDot(b: Int): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> m[${b + 1}][i] * CAST(embedding[i] AS DOUBLE)))"
 
-  private def annCodesSql(dotTerm: Int => String): String = {
-    val code = (0 until CodeBits)
+  /** H6 bit packing of the CodeBits sign bits as a SQL sum of powers of 2. */
+  private[queries] def codeExpr(dotTerm: Int => String): String =
+    (0 until CodeBits)
       .map(b => s"CASE WHEN ${dotTerm(b)} > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    s"""SELECT vec_id, CAST($code AS BIGINT) AS code
-       |FROM embeddings ORDER BY vec_id""".stripMargin
-  }
 
-  private val annCodesSparkSql = annCodesSql(b =>
-    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + ${sparkSgn(b, "i")} * CAST(element_at(embedding, i) AS DOUBLE))")
-  private val annCodesDuckSql = annCodesSql(b =>
-    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ${duckSgn(b, "i")} * CAST(embedding[i] AS DOUBLE)))")
+  private def annCodesSql(sgnCte: String, dotTerm: Int => String): String =
+    s"""WITH $sgnCte
+       |SELECT vec_id, CAST(${codeExpr(dotTerm)} AS BIGINT) AS code
+       |FROM embeddings CROSS JOIN sgn ORDER BY vec_id""".stripMargin
 
-  private def annBucketsSql(codesSql: String): String =
-    s"""WITH codes AS (${codesSql.replace("ORDER BY vec_id", "")})
+  private val annCodesSparkSql = annCodesSql(sparkSgnCte("rp", CodeBits, Dim), sparkBitDot)
+  private val annCodesDuckSql = annCodesSql(duckSgnCte("rp", CodeBits, Dim), duckBitDot)
+
+  private def annBucketsSql(sgnCte: String, dotTerm: Int => String): String =
+    s"""WITH $sgnCte,
+       |codes AS (SELECT vec_id, CAST(${codeExpr(dotTerm)} AS BIGINT) AS code FROM embeddings CROSS JOIN sgn)
        |SELECT code, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
        |FROM codes GROUP BY code ORDER BY code""".stripMargin
 
@@ -111,7 +115,7 @@ object EmbedQueries {
     "q_knn_cosine" -> ((s, d) => q(s, d, knnCosSparkSql)),
     "q_knn_l2" -> ((s, d) => q(s, d, knnL2SparkSql)),
     "q_ann_codes" -> ((s, d) => q(s, d, annCodesSparkSql)),
-    "q_ann_buckets" -> ((s, d) => q(s, d, annBucketsSql(annCodesSparkSql)))
+    "q_ann_buckets" -> ((s, d) => q(s, d, annBucketsSql(sparkSgnCte("rp", CodeBits, Dim), sparkBitDot)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -119,6 +123,6 @@ object EmbedQueries {
     "q_knn_cosine" -> knnCosDuckSql,
     "q_knn_l2" -> knnL2DuckSql,
     "q_ann_codes" -> annCodesDuckSql,
-    "q_ann_buckets" -> annBucketsSql(annCodesDuckSql)
+    "q_ann_buckets" -> annBucketsSql(duckSgnCte("rp", CodeBits, Dim), duckBitDot)
   )
 }

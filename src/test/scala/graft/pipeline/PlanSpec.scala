@@ -42,6 +42,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast join in plan:\n${plan.take(2000)}")
   }
 
+  test("q_ann_hamming_knn executes banded multiprobe as equi-joins (no theta-join candidate gather)") {
+    val df = graft.queries.AnnQueries.queries("q_ann_hamming_knn")(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE finalizes the physical plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in ANN plan:\n${plan.take(3000)}")
+    // The only nested-loop joins allowed are the conditionless 1-row
+    // sign-matrix cross joins; a conditioned BNLJ is the round-1
+    // bit_count theta-join scale-killer coming back.
+    val badBnlj = plan.split("\n").filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.trim.endsWith("Cross"))
+    assert(badBnlj.isEmpty,
+      s"ANN candidate gather fell back to a conditioned nested-loop join:\n${badBnlj.mkString("\n")}")
+    // candidate gather must be a hash/merge equi-join on the probed band key
+    val probeJoin = plan.split("\n").filter(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin"))
+        && l.contains("band_key"))
+    assert(probeJoin.nonEmpty, s"expected (band_idx, band_key) equi-join in ANN plan:\n${plan.take(3000)}")
+  }
+
   test("whole-stage codegen + partial aggregation cover the relational aggregate") {
     val df = graft.queries.RelQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect() // AQE finalizes the physical plan only on execution
