@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnnQueries, ClipQueries, DocQueries, EmbedQueries, RelQueries}
+import graft.queries.{AnnQueries, ClipQueries, DocQueries, EmbedQueries, KernelQueries, RelQueries, TransformQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,11 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DocQueries.queries ++ EmbedQueries.queries ++ AnnQueries.queries ++
-      RelQueries.queries ++ ClipQueries.queries
+      RelQueries.queries ++ ClipQueries.queries ++ TransformQueries.queries ++
+      KernelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DocQueries.oracleSql ++ EmbedQueries.oracleSql ++ AnnQueries.oracleSql ++
-      RelQueries.oracleSql ++ ClipQueries.oracleSql
+      RelQueries.oracleSql ++ ClipQueries.oracleSql ++ TransformQueries.oracleSql ++
+      KernelQueries.oracleSql
 }
