@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnnQueries, ClipQueries, DocQueries, EmbedQueries, KernelQueries, RelQueries, TransformQueries}
+import graft.queries.{AnnQueries, ClipQueries, DocQueries, EmbedQueries, ForestQueries, KernelQueries, RelQueries, TransformQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DocQueries.queries ++ EmbedQueries.queries ++ AnnQueries.queries ++
       RelQueries.queries ++ ClipQueries.queries ++ TransformQueries.queries ++
-      KernelQueries.queries
+      KernelQueries.queries ++ ForestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DocQueries.oracleSql ++ EmbedQueries.oracleSql ++ AnnQueries.oracleSql ++
       RelQueries.oracleSql ++ ClipQueries.oracleSql ++ TransformQueries.oracleSql ++
-      KernelQueries.oracleSql
+      KernelQueries.oracleSql ++ ForestQueries.oracleSql
 }

@@ -86,11 +86,11 @@ object CrossSql {
     * One row, computed once and broadcast into the scan — md5 runs
     * bits×dim times TOTAL instead of bits×dim times PER ROW (the round-1
     * per-row-lambda md5 storm). */
-  def sparkSgnCte(tag: String, bits: Int, dim: Int): String =
-    s"""sgn AS (SELECT transform(sequence(0, ${bits - 1}), b -> transform(sequence(1, $dim), j -> CASE WHEN (${sparkH60(s"concat('$tag', CAST(b AS STRING), '_', CAST(j AS STRING))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS m)"""
+  def sparkSgnCte(tag: String, bits: Int, dim: Int, cteName: String = "sgn"): String =
+    s"""$cteName AS (SELECT transform(sequence(0, ${bits - 1}), b -> transform(sequence(1, $dim), j -> CASE WHEN (${sparkH60(s"concat('$tag', CAST(b AS STRING), '_', CAST(j AS STRING))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS m)"""
 
-  def duckSgnCte(tag: String, bits: Int, dim: Int): String =
-    s"""sgn AS (SELECT list_transform(range(0, $bits), b -> list_transform(range(1, ${dim + 1}), j -> CASE WHEN (${duckH60(s"concat('$tag', CAST(b AS VARCHAR), '_', CAST(j AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS m)"""
+  def duckSgnCte(tag: String, bits: Int, dim: Int, cteName: String = "sgn"): String =
+    s"""$cteName AS (SELECT list_transform(range(0, $bits), b -> list_transform(range(1, ${dim + 1}), j -> CASE WHEN (${duckH60(s"concat('$tag', CAST(b AS VARCHAR), '_', CAST(j AS VARCHAR))")} & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS m)"""
 
   /** Register `<dir>/<table>.parquet` as a temp view named `table`. */
   def view(spark: SparkSession, dir: String, table: String): DataFrame = {

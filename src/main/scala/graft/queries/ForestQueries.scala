@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import CrossSql._
+
+/** LSH-forest read path (operators B4 + Q3 + Q4) as a relational plan over
+  * `embeddings`: the trie descend+collect of
+  * `/root/reference/hashIndex/LSHForestHashIndex.h:260-337` becomes a
+  * SHORTENING-PREFIX EQUI-JOIN SCHEDULE (see [[graft.kernel.LshForest]] for
+  * the order-isomorphism argument), looped depth-major across
+  * [[NumTables]] independent tables exactly like the reference's forest
+  * query union (`HashCollection.h:212-230`):
+  *
+  *   1. per table t, codes_t: the H1 sign-projection code under table t's
+  *      md5-parity matrix (table 0 shares the flat-band path's matrix);
+  *   2. per level s = 0..MaxDepth, bucket key = `code >> s` (the subtree of
+  *      the ancestor at prefix-length bits−s); queries and base join per
+  *      (table, level) on `(t, s, prefix)` — pure equi-joins, no theta
+  *      anywhere;
+  *   3. per (query, table), `chosen` picks the deepest level (smallest s)
+  *      with ≥ MinCand candidates, backing off to MaxDepth otherwise — the
+  *      reference's "expand until minRetrieved" early exit;
+  *   4. candidates union across tables (Q4, DISTINCT), exact cosine
+  *      re-rank (Q7) + top-k rank window (Q8).
+  *
+  * At production scale the per-level join keys are `code >> s` over 64-bit
+  * codes — each (table, level) is one shuffle-partitioned equi-join, and
+  * the fan-out is bounded by tables × depth schedule, exactly the forest's
+  * cost/recall trade.
+  *
+  * q_ann_forest_recall scores the forest result against brute-force exact
+  * kNN (operator O2 pattern) — comparable with q_ann_recall's flat-band
+  * multiprobe numbers (the forest runs at a smaller candidate budget:
+  * ≤ NumTables·MinCand ≈ 80/query vs the radius-6 ball's ~25% of base).
+  */
+object ForestQueries {
+
+  val Dim = EmbedQueries.Dim
+  val TopK = AnnQueries.TopK
+  val QueryStride = EmbedQueries.QueryStride
+  /** Forest width — independent tables unioned depth-major. */
+  val NumTables = 4
+  /** Deepest backoff: prefix shortened to CodeBits−MaxDepth = 4 bits. */
+  val MaxDepth = 12
+  /** Q3 minRetrieved per table: expand until this many candidates. */
+  val MinCand = 4 * TopK
+
+  /** Table t's projection tag ("rp" = the flat-band path's table). */
+  private def tag(t: Int): String = if (t == 0) "rp" else s"rf$t"
+
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))"
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Per-table sgn + codes CTEs; table 0 also carries embedding + nrm for
+    * the exact re-rank (norms are table-independent). */
+  private def withCtes(sgnCte: (String, Int, Int, String) => String,
+      bitDot: Int => String, dot: (String, String) => String): String = {
+    val perTable = (0 until NumTables).map { t =>
+      val nrm = if (t == 0) s", embedding, sqrt(${dot("embedding", "embedding")}) AS nrm" else ""
+      s"""${sgnCte(tag(t), EmbedQueries.CodeBits, Dim, s"sgn_$t")},
+         |codes_$t AS (SELECT vec_id$nrm, CAST(${EmbedQueries.codeExpr(bitDot)} AS BIGINT) AS code FROM embeddings CROSS JOIN sgn_$t)""".stripMargin
+    }
+    val union = (0 until NumTables)
+      .map(t => s"SELECT $t AS t, vec_id, code FROM codes_$t")
+      .mkString(" UNION ALL ")
+    s"""${perTable.mkString(",\n")},
+       |tc AS ($union),
+       |base AS (SELECT vec_id, embedding, nrm FROM codes_0),
+       |qbase AS (SELECT * FROM base WHERE vec_id % $QueryStride = 0)""".stripMargin
+  }
+
+  private val sparkWith = withCtes(sparkSgnCte, EmbedQueries.sparkBitDot, sparkDot)
+  private val duckWith = withCtes(duckSgnCte, EmbedQueries.duckBitDot, duckDot)
+
+  /** Level explosion, dialect-split only on the sequence generator. */
+  private val sparkLvCtes =
+    s"""lv AS (SELECT t, vec_id, s, shiftright(code, s) AS pre
+       |  FROM tc LATERAL VIEW explode(sequence(0, $MaxDepth)) tl AS s),
+       |qlv AS (SELECT * FROM lv WHERE vec_id % $QueryStride = 0)""".stripMargin
+  private val duckLvCtes =
+    s"""lv AS (SELECT t, vec_id, CAST(s AS INT) AS s, code >> s AS pre
+       |  FROM tc, (SELECT unnest(range(0, ${MaxDepth + 1})) AS s) tl),
+       |qlv AS (SELECT * FROM lv WHERE vec_id % $QueryStride = 0)""".stripMargin
+
+  /** chosen level per (query, table) + union candidates + exact re-rank —
+    * identical text in both dialects. */
+  private def forestCtes(dot: (String, String) => String): String =
+    s"""cnt AS (
+       |  SELECT ql.vec_id AS query_id, ql.t AS t, ql.s AS s, COUNT(*) AS c
+       |  FROM qlv ql JOIN lv b ON ql.t = b.t AND ql.s = b.s AND ql.pre = b.pre AND ql.vec_id <> b.vec_id
+       |  GROUP BY ql.vec_id, ql.t, ql.s),
+       |chosen AS (
+       |  SELECT query_id, t, COALESCE(MIN(CASE WHEN c >= $MinCand THEN s END), $MaxDepth) AS s
+       |  FROM cnt GROUP BY query_id, t),
+       |cand_ids AS (
+       |  SELECT DISTINCT ch.query_id, bl.vec_id AS neighbor_id
+       |  FROM chosen ch
+       |  JOIN qlv ql ON ql.vec_id = ch.query_id AND ql.t = ch.t AND ql.s = ch.s
+       |  JOIN lv bl ON bl.t = ql.t AND bl.s = ql.s AND bl.pre = ql.pre AND bl.vec_id <> ch.query_id),
+       |cand AS (
+       |  SELECT ci.query_id, ci.neighbor_id,
+       |    ${dot("qq.embedding", "b.embedding")} / (qq.nrm * b.nrm) AS score
+       |  FROM cand_ids ci
+       |  JOIN qbase qq ON qq.vec_id = ci.query_id
+       |  JOIN base b ON b.vec_id = ci.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM cand)""".stripMargin
+
+  private def knnSql(withC: String, lvC: String,
+      dot: (String, String) => String): String =
+    s"""WITH $withC,
+       |$lvC,
+       |${forestCtes(dot)}
+       |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def recallSql(withC: String, lvC: String,
+      dot: (String, String) => String): String =
+    s"""WITH $withC,
+       |$lvC,
+       |${forestCtes(dot)},
+       |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT qq.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |      ${dot("qq.embedding", "b.embedding")} / (qq.nrm * b.nrm) DESC,
+       |      b.vec_id ASC) AS BIGINT) AS rank
+       |  FROM qbase qq JOIN base b ON qq.vec_id <> b.vec_id) t
+       |WHERE rank <= $TopK)
+       |SELECT exact.query_id AS query_id, COUNT(ann.neighbor_id) AS hits, COUNT(*) AS k
+       |FROM exact LEFT JOIN ann
+       |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
+       |GROUP BY exact.query_id ORDER BY query_id""".stripMargin
+
+  private val knnSparkSql = knnSql(sparkWith, sparkLvCtes, sparkDot)
+  private val knnDuckSql = knnSql(duckWith, duckLvCtes, duckDot)
+  private val recallSparkSql = recallSql(sparkWith, sparkLvCtes, sparkDot)
+  private val recallDuckSql = recallSql(duckWith, duckLvCtes, duckDot)
+
+  private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    view(spark, dir, "embeddings")
+    spark.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_forest_knn" -> ((s, d) => q(s, d, knnSparkSql)),
+    "q_ann_forest_recall" -> ((s, d) => q(s, d, recallSparkSql))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ann_forest_knn" -> knnDuckSql,
+    "q_ann_forest_recall" -> recallDuckSql
+  )
+}

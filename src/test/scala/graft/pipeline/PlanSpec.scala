@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(probeJoin.nonEmpty, s"expected (band_idx, band_key) equi-join in ANN plan:\n${plan.take(3000)}")
   }
 
+  test("q_ann_forest_knn executes the prefix schedule as equi-joins only") {
+    val df = graft.queries.ForestQueries.queries("q_ann_forest_knn")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in forest plan:\n${plan.take(3000)}")
+    val badBnlj = plan.split("\n").filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.trim.endsWith("Cross"))
+    assert(badBnlj.isEmpty,
+      s"forest candidate gather fell back to a conditioned nested-loop join:\n${badBnlj.mkString("\n")}")
+    val prefixJoin = plan.split("\n").filter(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin"))
+        && l.contains("pre"))
+    assert(prefixJoin.nonEmpty, s"expected (t, s, pre) equi-join in forest plan:\n${plan.take(3000)}")
+  }
+
   test("whole-stage codegen + partial aggregation cover the relational aggregate") {
     val df = graft.queries.RelQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect() // AQE finalizes the physical plan only on execution
