@@ -22,6 +22,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Inputs for the recursive-closure cluster oracle: the accepted edge
+    // list + vertex set of the SAME pipeline run the cluster queries read
+    // (ClipQueries caches the run per session).
+    try {
+      graft.queries.ClipQueries.acceptedEdges(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cc_edges")
+      graft.queries.ClipQueries.vertices(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cc_vertices")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] cc oracle dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +45,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {GRAFT_OUT} → absolute out dir (the closure oracle reads the edge
+    // dump from this run's output directory)
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

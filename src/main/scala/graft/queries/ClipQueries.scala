@@ -25,18 +25,64 @@ object ClipQueries {
 
   private def clips(spark: SparkSession) = ClipTableGen.table(spark, NClips)
 
+  /** One pipeline run per session: clusters and cluster-size queries (and
+    * the Verify edge dump for the recursive-closure oracle) all read the
+    * SAME run — no repeated decode/signature work, no leaked persisted
+    * intermediates from redundant runs. */
+  private val pipelineCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DedupPipeline.Result]()
+  private def pipeline(spark: SparkSession): DedupPipeline.Result =
+    pipelineCache.computeIfAbsent(spark, s => DedupPipeline.run(s, clips(s), conf))
+
+  /** Accepted dup edges of the cached pipeline run (oracle input dumped by
+    * [[graft.Verify]] for the DuckDB recursive-closure check). */
+  def acceptedEdges(spark: SparkSession): DataFrame =
+    pipeline(spark).edges.filter(col("accepted")).select(col("a"), col("b"))
+
+  /** Vertex set of the cached pipeline run. */
+  def vertices(spark: SparkSession): DataFrame =
+    clips(spark).select(col("clip_id"))
+
   /** Full pipeline → (clip_id, cluster_id). */
   private def dedupClusters(spark: SparkSession): DataFrame =
-    DedupPipeline.run(spark, clips(spark), conf).clusters
+    pipeline(spark).clusters
       .orderBy(col("clip_id"))
 
   /** Cluster-size histogram (n_clusters per size). */
   private def clusterSizes(spark: SparkSession): DataFrame =
-    DedupPipeline.run(spark, clips(spark), conf).clusters
+    pipeline(spark).clusters
       .groupBy(col("cluster_id")).count()
       .withColumnRenamed("count", "cluster_size")
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
+
+  /** DuckDB oracle for the clustering stage: min-label transitive closure
+    * over the SAME accepted-edge set the pipeline clustered (dumped to
+    * `{GRAFT_OUT}/cc_edges` + `cc_vertices` by [[graft.Verify]], which
+    * substitutes the placeholder with the absolute out dir). Labels are the
+    * lexicographic min clip_id per component — exactly
+    * [[graft.pipeline.Components]]' fixpoint — so this independently checks
+    * the hash-min + pointer-doubling iteration end to end. */
+  private val closureCte =
+    """WITH RECURSIVE
+      |e AS (SELECT a, b FROM read_parquet('{GRAFT_OUT}/cc_edges/*.parquet')),
+      |und AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |verts AS (SELECT clip_id FROM read_parquet('{GRAFT_OUT}/cc_vertices/*.parquet')),
+      |reach(v, lbl) AS (
+      |  SELECT clip_id, clip_id FROM verts
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.v),
+      |lab AS (SELECT v AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
+  private val clustersDuckSql =
+    s"""$closureCte
+       |SELECT clip_id, cluster_id FROM lab ORDER BY clip_id""".stripMargin
+
+  private val clusterSizesDuckSql =
+    s"""$closureCte,
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
 
   /** Per-clip signature stage output (decode + MinHash + SimHash kernels). */
   private def signatures(spark: SparkSession): DataFrame =
@@ -126,8 +172,14 @@ object ClipQueries {
     "q_probe_masks" -> ((s, _) => probeMasks(s))
   )
 
-  /** Only q_probe_masks is ANSI-SQL-expressible. */
+  /** q_probe_masks is directly ANSI-SQL-expressible; the two cluster
+    * queries get a recursive-closure oracle over the dumped edge list
+    * (DuckDB recomputes the connected components independently). The
+    * signature/audio kernels (WAV decode, seeded MinHash) stay rows-only —
+    * their oracle is RefOracle in sbt test. */
   val oracleSql: Map[String, String] = Map(
-    "q_probe_masks" -> probeMasksDuckSql
+    "q_probe_masks" -> probeMasksDuckSql,
+    "q_dedup_clusters" -> clustersDuckSql,
+    "q_dedup_cluster_sizes" -> clusterSizesDuckSql
   )
 }
