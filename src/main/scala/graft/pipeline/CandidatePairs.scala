@@ -33,7 +33,15 @@ object CandidatePairs {
     * RAW pair stream (a, b, sources: Int bitmask, capped) with a < b; NOT
     * deduplicated across buckets — the caller's final groupBy(a, b)
     * (DedupPipeline's candidates stage) is the single dedup shuffle for all
-    * candidate streams. */
+    * candidate streams.
+    *
+    * Provenance caveat (documented approximation — ACCEPTED EDGES are
+    * unaffected, verification is exact): `sources` is the OR of every
+    * member row's family bit in the bucket, applied to all its pairs, and
+    * family-salted Long keys can collide across families (birthday-likely
+    * at 10^12 rows) — so a pair's `sources` bitmask may include a family
+    * that never banded that specific pair. Treat it as diagnostic lineage,
+    * not exact attribution. */
   def fromBands(spark: SparkSession, bands: DataFrame, conf: GraftConf): DataFrame = {
     import spark.implicits._
     val cap = conf.bucketCap

@@ -17,13 +17,23 @@ import org.apache.spark.storage.StorageLevel
   *    majority of a deduped corpus) are attached at the end with a single
   *    left join — the loop's working set is O(|edges|), not O(|corpus|).
   *  - Convergence is detected by an order-insensitive label fingerprint
-  *    (sum of xxhash64(vertex, label)) — one cached-scan aggregate per
+  *    (bit_xor of xxhash64(vertex, label)) — one cached-scan aggregate per
   *    round instead of a join against the previous labels. Labels only ever
-  *    decrease, so fingerprint equality ⇔ fixpoint (up to a 2^-64 hash
-  *    cancellation).
-  *  - Pointer doubling (label ← label(label)) turns the chain-shaped
-  *    components produced by the skew-capped pair generator into O(log n)
-  *    rounds.
+  *    decrease, so fingerprint equality ⇔ fixpoint up to hash cancellation:
+  *    a change set whose per-row old⊕new hashes XOR to zero (probability
+  *    2^-64 per round, the single-collision case being one of them) would
+  *    terminate one round early; accepted and documented.
+  *  - Two pointer-jump joins per round (label ← label∘label, twice) turn
+  *    the chain-shaped components produced by the skew-capped pair
+  *    generator into O(log d) rounds while keeping per-round job count
+  *    (checkpoint + fingerprint) constant; the repeated subplan is
+  *    deduplicated by Spark's exchange reuse.
+  *  - Lineage truncation per round: reliable `checkpoint()` under
+  *    `checkpointDir` (an executor loss mid-loop recovers from files —
+  *    `localCheckpoint` blocks would die with the executor), else eager
+  *    `localCheckpoint`. The previous round's blocks are freed once the
+  *    next round is materialized, so long runs don't accumulate
+  *    block-manager storage.
   *  - AQE is disabled inside the loop: re-planning every tiny iterative
   *    join costs more than it saves; it is restored afterwards.
   *
@@ -39,13 +49,32 @@ object Components {
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
 
     val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("true")
     val shuffleWas = spark.conf.getOption("spark.sql.shuffle.partitions").getOrElse("200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      val sc = spark.sparkContext
+      val reliable = checkpointDir.isDefined
+      if (reliable && sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(checkpointDir.get + "/cc-rdd")
+      def ckpt(df: DataFrame): DataFrame =
+        if (reliable) df.checkpoint() else df.localCheckpoint(true)
+
+      // Per-round block rotation: free the previous round's truncated-
+      // lineage blocks once the current round is materialized (they can no
+      // longer be referenced — each round reads only its predecessor).
+      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+      var prevRoundIds: Set[Int] = Set.empty
+      def rotateBlocks(before: Set[Int]): Unit = {
+        val created = persistedIds -- before
+        prevRoundIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        prevRoundIds = created
+      }
+
       // edges are distinct unordered pairs upstream (candidates are
       // groupBy(a,b)-deduped), so the symmetrized list needs no distinct —
       // and min-aggregation is multiset-safe anyway.
@@ -70,34 +99,41 @@ object Components {
         labels.agg(coalesce(expr("bit_xor(xxhash64(clip_id, label))"), lit(0L)))
           .head().getLong(0)
 
+      // label ← label(label): the shortcut only improves (invariant
+      // label(v) ≤ v).
+      def jump(m: DataFrame): DataFrame =
+        m.join(m.select($"clip_id".as("label"), $"label".as("ll")), Seq("label"))
+          .select($"clip_id", $"ll".as("label"))
+
       // Iteration 1 folded into one aggregation: with identity initial
       // labels, min-over-closed-neighborhood(v) = least(v, min(neighbors)).
       // Every endpoint appears as dst of the symmetrized list, so this
       // covers the whole endpoint vertex set without a separate
       // distinct + identity-label pass.
-      var labels = und.groupBy($"dst".as("clip_id")).agg(min($"src").as("m"))
-        .select($"clip_id", least($"clip_id", $"m").as("label"))
-        .localCheckpoint(true)
+      var before = persistedIds
+      var labels = ckpt(
+        und.groupBy($"dst".as("clip_id")).agg(min($"src").as("m"))
+          .select($"clip_id", least($"clip_id", $"m").as("label")))
       var fp = fingerprint(labels)
+      rotateBlocks(before)
 
       val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
         val itT0 = System.nanoTime()
+        before = persistedIds
         // min label over closed neighborhood
         val msgs = und
           .join(labels.withColumnRenamed("clip_id", "src"), Seq("src"))
           .select($"dst".as("clip_id"), $"label")
         val minned = labels.union(msgs)
           .groupBy($"clip_id").agg(min($"label").as("label"))
-        // pointer doubling: label ← label(label). Invariant label(v) ≤ v, so
-        // the shortcut only improves.
-        val next = minned
-          .join(minned.select($"clip_id".as("label"), $"label".as("ll")), Seq("label"))
-          .select($"clip_id", $"ll".as("label"))
-          .localCheckpoint(true) // eager + lineage truncation
+        // two pointer jumps per round (exchange reuse dedupes the repeated
+        // minned/jump subplans): pointer depth shrinks ~4× per round
+        val next = ckpt(jump(jump(minned)))
         val nfp = fingerprint(next)
+        rotateBlocks(before)
         labels = next
         converged = nfp == fp
         fp = nfp

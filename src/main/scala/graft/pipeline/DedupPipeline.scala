@@ -24,7 +24,11 @@ object DedupPipeline {
   final case class Result(
       clusters: DataFrame,
       edges: DataFrame,
-      stages: Seq[Checkpoints.StageInfo])
+      stages: Seq[Checkpoints.StageInfo],
+      /** Unpersist the run's internal intermediates (verify text phase,
+        * signature/edge persists). Call after the outputs are materialized
+        * — repeated runs in one session otherwise accumulate blocks. */
+      cleanup: () => Unit = () => ())
 
   def run(spark: SparkSession, clips: DataFrame, conf: GraftConf,
       inputSig: String = "default"): Result = {
@@ -62,17 +66,28 @@ object DedupPipeline {
         .agg(expr("bit_or(sources)").as("sources"), max($"capped").as("capped"))
     }
 
+    var releaseVerify: () => Unit = () => ()
     val verified = materialized(stage("verified") {
-      VerifyPairs.verify(spark, candidates, signatures, conf)
+      val v = VerifyPairs.verify(spark, candidates, signatures, conf)
+      releaseVerify = v.release
+      v.edges
     })
+    // checkpoint mode materializes the stage to parquet eagerly — the text
+    // phase can be released immediately; persist mode defers to cleanup()
+    if (conf.checkpointDir.isDefined) releaseVerify()
 
     val clusters = stage("clusters") {
       val vertices = clips.select($"clip_id")
       val edges = verified.filter($"accepted").select($"a", $"b")
-      Components.connectedComponents(spark, vertices, edges, conf.maxCcIterations)
+      Components.connectedComponents(spark, vertices, edges, conf.maxCcIterations,
+        conf.checkpointDir)
     }
 
-    Result(clusters, verified, stages.result())
+    val cleanup: () => Unit = () => {
+      releaseVerify()
+      Seq(signatures, verified).foreach(df => df.unpersist(false))
+    }
+    Result(clusters, verified, stages.result(), cleanup)
   }
 
   /** Dup pairs implied by a clustering: all unordered co-cluster pairs.

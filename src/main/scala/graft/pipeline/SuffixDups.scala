@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object SuffixDups {
 
+  /** Max seed-flagged members that fan out probes inside a capped
+    * hot-phrase group (bounds the extra rows at SeedProbeLimit·bucketCap). */
+  val SeedProbeLimit = 64
+
   /** clips (clip_id, transcript) → candidate substring edges
     * (a, b, sources = SrcSubstring, capped), a's text potentially inside
     * b's, a != b. Verification happens in VerifyPairs. */
@@ -57,9 +61,14 @@ object SuffixDups {
 
     // Hot-phrase skew: a window hash shared by s documents would fan out
     // O(s·seeds) join rows. Same policy as CandidatePairs: small groups emit
-    // seed×member pairs exactly; oversized groups fall back to chain pairs
-    // over id-sorted members (connectivity preserved for true-dup groups,
-    // blowup bounded, flagged `capped`).
+    // seed×member pairs exactly; oversized groups keep chain pairs over
+    // id-sorted members for true-dup-run connectivity AND still probe the
+    // seed-flagged members (docs sharing one boilerplate window are mostly
+    // NOT mutual dups, so chain edges alone fail verification and a real
+    // container > chainWidth away in id order would be silently lost).
+    // Bounds, documented recall limit: at most SeedProbeLimit seeds fan
+    // out, each against the first `cap` id-sorted members — a container
+    // beyond that in a >cap group is still missed, flagged via `capped`.
     val cap = conf.bucketCap
     val width = conf.chainWidth
     val pairs = tagged
@@ -73,11 +82,17 @@ object SuffixDups {
             (b, _) <- members.iterator if a != b
           } yield (if (a < b) (a, b, false) else (b, a, false))
         } else {
-          for {
+          val chain = for {
             i <- members.indices.iterator
             d <- (1 to width).iterator
             if i + d < members.length
           } yield (members(i)._1, members(i + d)._1, true)
+          val probes = for {
+            (a, _) <- members.iterator.filter(_._2).take(SeedProbeLimit)
+            (b, _) <- members.iterator.take(cap)
+            if a != b
+          } yield (if (a < b) (a, b, true) else (b, a, true))
+          chain ++ probes
         }
       }
 

@@ -30,12 +30,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object VerifyPairs {
 
+  /** Verified edges + a release hook for the internally persisted
+    * text-phase intermediate (call once the edge set is materialized —
+    * repeated pipeline runs in one session otherwise accumulate
+    * block-manager storage). */
+  final case class Verified(edges: DataFrame, release: () => Unit)
+
   /** pairs (a, b, sources, capped) × signatures (clip_id, text_sh,
     * audio_sh, toks_h)
     * → verified edges (a, b, text_jaccard, audio_jaccard, substring,
-    *   accepted, reasons). */
+    *   accepted, reasons).
+    *
+    * Metric-reporting caveat (the ACCEPTED EDGE SET is exact either way):
+    * `audio_jaccard` is 0.0 for pairs the text phase already accepted —
+    * the audio payload is only shipped for the residue, so the reported
+    * per-pair audio metric is phase-dependent, not ground truth. */
   def verify(spark: SparkSession, pairs: DataFrame, signatures: DataFrame,
-      conf: GraftConf): DataFrame = {
+      conf: GraftConf): Verified = {
     import spark.implicits._
     val c = conf
 
@@ -68,7 +79,7 @@ object VerifyPairs {
       }
       .toDF("a", "b", "audio_jaccard")
 
-    textPhase
+    val edges = textPhase
       .join(audioPhase, Seq("a", "b"), "left")
       .select($"a", $"b", $"text_jaccard",
         coalesce($"audio_jaccard", lit(0.0)).as("audio_jaccard"),
@@ -78,6 +89,7 @@ object VerifyPairs {
           when($"text_jaccard" >= c.textJaccardThreshold, "text"),
           when(coalesce($"audio_jaccard", lit(0.0)) >= c.audioJaccardThreshold, "audio"),
           when($"substring", "substring"))).as("reasons"))
+    Verified(edges, () => { textPhase.unpersist(false); () })
   }
 
   /** inner's token-hash sequence appears contiguously in outer's — the

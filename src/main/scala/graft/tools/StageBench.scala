@@ -79,7 +79,7 @@ object StageBench {
 
     val verified = time("verified") {
       val v = VerifyPairs.verify(spark, candidates, signatures, conf)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .edges.persist(StorageLevel.MEMORY_AND_DISK)
       v.count()
       v
     }

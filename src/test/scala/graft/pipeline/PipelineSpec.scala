@@ -112,6 +112,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped >= 119, "chain must keep the bucket connected")
   }
 
+  test("capped hot-phrase group still finds containment pairs beyond the chain width") {
+    // > bucketCap docs share one boilerplate window; a contained doc's true
+    // container sits ~190 ids away — chain pairs (width 2) alone would
+    // lose it; the seed-probe fan must recover it. (The fan is itself
+    // bounded: containment partners beyond the first bucketCap id-sorted
+    // members of a capped group remain out of reach — documented limit.)
+    val w = conf.substringWindow
+    val common = (1 to w).map(i => s"c$i").mkString(" ")
+    val docs = (0 until 520).map { i =>
+      val id = f"d$i%04d"
+      val text =
+        if (id == "d0200") s"$common z9" // fully contained in d0010's text
+        else if (id == "d0010") s"$common z9 tail tail2 tail3"
+        else s"$common u$i filler$i x$i"
+      (id, text)
+    }
+    val clips = docs.toDF("clip_id", "transcript")
+    val smallCap = conf.copy(bucketCap = 256, chainWidth = 2)
+    val cand = SuffixDups.candidates(spark, clips, smallCap)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(cand.contains(("d0010", "d0200")),
+      "seed-probe fan must emit the far-apart containment pair in a capped group")
+    // and the capped path was the one taken (group of 520 > cap 256)
+    val capped = SuffixDups.candidates(spark, clips, smallCap)
+      .filter(col("capped")).count()
+    assert(capped > 0)
+    // blowup stays bounded: chain O(n·width) + probes O(limit·cap)
+    assert(cand.size <= 520 * 2 + SuffixDups.SeedProbeLimit * 256)
+  }
+
   test("checkpointed stages resume without recompute and reproduce identical clusters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val ckptConf = conf.copy(checkpointDir = Some(tmp))
