@@ -5,25 +5,34 @@ import graft.pipeline.DedupPipeline
 import graft.synth.ClipTableGen
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — prints ONE JSON line.
+/** Benchmark main — prints ONE JSON line (also written to
+  * `GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json`, so the driver never has
+  * to scrape it out of log spew).
   *
   * Two phases:
   *  1. headline driver queries at `local[SPARK_GRAFT_CPUS]` on
-  *     `SPARK_GRAFT_SF_DIR` (per-query seconds in "queries");
+  *     `SPARK_GRAFT_SF_DIR` (per-query seconds in "queries"; a failing
+  *     query records an entry in "errors" instead of being swallowed);
   *  2. the end-to-end dedup pipeline (synth input_hint table → clusters) at
   *     two parallelism levels, `local[N]` and `local[4N]` on IDENTICAL input
   *     — the sandbox evidence for the north rule's N vs 4N executor-cluster
   *     scaling criterion. Reports clips/sec at both plus
   *     efficiency = (T_N / T_4N) / 4; target ≥ 0.8 (BASELINE.md §2).
   *
-  * A small warmup run precedes the timed pipeline runs so JIT compilation
-  * of the kernels doesn't bias the first measurement.
+  * Measurement hygiene on this SHARED host (BASELINE.md §3): one full-size
+  * untimed warmup first (JIT/codegen), then GRAFT_BENCH_REPS interleaved
+  * (N, 4N) leg pairs with best-of per level, and a bounded wait for
+  * ambient load < 3 before every timed leg (GRAFT_BENCH_LOADWAIT seconds
+  * max, 0 disables) — legs measured into an external load burst are pure
+  * noise, and the raw interleaved legs are published in the JSON for
+  * spread transparency.
   */
 object Bench {
 
   private val headline = Seq(
     "q_exact_dedup", "q_minhash_bands", "q_lsh_pairs", "q_near_dup_pairs",
     "q_simhash_pairs", "q_substring_pairs", "q_knn_cosine", "q_ann_buckets",
+    "q_ann_hamming_knn", "q_ann_forest_knn",
     "q1_agg", "q_join_agg", "q_window_latest")
 
   private def session(cores: Int): SparkSession = {
@@ -48,8 +57,11 @@ object Bench {
   private def pipelineSecs(spark: SparkSession, inputDir: String): Double = {
     val clips = spark.read.parquet(inputDir)
     val t0 = System.nanoTime()
-    DedupPipeline.run(spark, clips, GraftConf()).clusters.count()
-    (System.nanoTime() - t0) / 1e9
+    val res = DedupPipeline.run(spark, clips, GraftConf())
+    res.clusters.count()
+    val t = (System.nanoTime() - t0) / 1e9
+    res.cleanup()
+    t
   }
 
   /** Synthesize the input_hint clip table once, to parquet (untimed). */
@@ -59,26 +71,48 @@ object Bench {
     dir
   }
 
+  private def readLoad(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
+  /** Bounded wait for a quiet window before a timed leg. */
+  private def waitQuiet(maxWaitSec: Int): Unit = {
+    if (maxWaitSec <= 0) return
+    val t0 = System.nanoTime()
+    while (readLoad() > 3.0 && (System.nanoTime() - t0) / 1e9 < maxWaitSec)
+      Thread.sleep(10000)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N=2 → 4N=8: this box has 32 real cores but is a shared host; the
     // 2→8 pair keeps both runs clear of external load bursts, and n is
-    // sized so per-row work (~0.6 core-ms/clip incl. framework row-tax)
-    // dominates the ~10s fixed job-latency floor (efficiency is
-    // meaningless on a latency-bound run at any N).
+    // sized so per-row work (~1.1 core-ms/clip incl. framework row-tax)
+    // dominates the ~35s fixed job-latency floor (efficiency is
+    // meaningless on a latency-bound run at any N; the floor is per-JOB,
+    // not per-row — measured W≈452 core-s at 400k, F≈35 s, so 800k puts
+    // W/F ≈ 26 > the 22 needed for 0.8).
     val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "2").toInt
-    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "400000").toInt
+    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "800000").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+    val loadWait = sys.env.getOrElse("GRAFT_BENCH_LOADWAIT", "240").toInt
 
     // ---- phase 1: headline queries --------------------------------------
     val spark1 = session(cpus)
     // untimed session warmup so the first timed query doesn't absorb
     // executor init + codegen compilation
-    try SparkEntry.queries("q1_agg")(spark1, sfDir).count() catch { case _: Throwable => () }
+    try SparkEntry.queries("q1_agg")(spark1, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
+        try fn(spark1, sfDir).count()
+        catch { case e: Throwable =>
+          qErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -90,23 +124,25 @@ object Bench {
     // One full-size UNTIMED warmup first: the first full pipeline run in a
     // JVM pays ~3x CPU to JIT compilation of the kernel + generated code
     // (measured via process CPU time); measuring it would corrupt either
-    // level. Then interleaved N,4N,N,4N with best-of-2 per level: the
-    // sandbox host is shared, so single runs carry external noise;
-    // interleaving decorrelates a noise burst from one level, and min is
-    // the least-contested estimate.
+    // level. Then `reps` interleaved (N, 4N) pairs with best-of per level:
+    // interleaving decorrelates an ambient-load burst from one level, and
+    // min is the least-contested estimate.
     val warm = session(4 * baseN)
     pipelineSecs(warm, inputDir)
     warm.stop()
     def once(cores: Int): Double = {
+      waitQuiet(loadWait)
       val s = session(cores)
       val t = pipelineSecs(s, inputDir)
       s.stop()
       t
     }
-    val order = Seq(baseN, 4 * baseN, baseN, 4 * baseN)
+    val order = Seq.fill(reps)(Seq(baseN, 4 * baseN)).flatten
     val times = order.map(c => c -> once(c))
     val tN = times.collect { case (c, t) if c == baseN => t }.min
     val t4N = times.collect { case (c, t) if c == 4 * baseN => t }.min
+    graft.tools.StageBench.deleteRec(
+      new java.io.File(inputDir).getParentFile) // ~25 KB/clip of temp input
 
     val cpsN = nClips / tN
     val cps4N = nClips / t4N
@@ -122,7 +158,24 @@ object Bench {
     val total = qTimes.map(_._2).sum + tN + t4N
     val dedup =
       f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"raw_runs":$raw}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errs =
+      if (qErrors.isEmpty) ""
+      else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString(""","errors":{""", ",", "}")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup$errs}"""
+    // file first (machine-parseable delivery), then the final stdout line
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    println(json)
+    System.out.flush()
   }
 }

@@ -23,11 +23,9 @@ import org.apache.spark.storage.StorageLevel
   *    a change set whose per-row old⊕new hashes XOR to zero (probability
   *    2^-64 per round, the single-collision case being one of them) would
   *    terminate one round early; accepted and documented.
-  *  - Two pointer-jump joins per round (label ← label∘label, twice) turn
-  *    the chain-shaped components produced by the skew-capped pair
-  *    generator into O(log d) rounds while keeping per-round job count
-  *    (checkpoint + fingerprint) constant; the repeated subplan is
-  *    deduplicated by Spark's exchange reuse.
+  *  - One pointer-jump join per round (label ← label∘label) turns the
+  *    chain-shaped components produced by the skew-capped pair generator
+  *    into O(log d) rounds.
   *  - Lineage truncation per round: reliable `checkpoint()` under
   *    `checkpointDir` (an executor loss mid-loop recovers from files —
   *    `localCheckpoint` blocks would die with the executor), else eager
@@ -129,9 +127,11 @@ object Components {
           .select($"dst".as("clip_id"), $"label")
         val minned = labels.union(msgs)
           .groupBy($"clip_id").agg(min($"label").as("label"))
-        // two pointer jumps per round (exchange reuse dedupes the repeated
-        // minned/jump subplans): pointer depth shrinks ~4× per round
-        val next = ckpt(jump(jump(minned)))
+        // one pointer jump per round: measured at 400k clips, a second
+        // in-round jump duplicates the minned subplan (exchange reuse does
+        // not dedupe the nested self-joins) for zero round reduction —
+        // convergence here is propagation-bound, not pointer-depth-bound
+        val next = ckpt(jump(minned))
         val nfp = fingerprint(next)
         rotateBlocks(before)
         labels = next

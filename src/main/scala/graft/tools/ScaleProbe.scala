@@ -52,15 +52,35 @@ object ScaleProbe {
 
     coreList.foreach { cores =>
       val s = session(cores)
+      // per-job wall breakdown (GRAFT_PROBE_JOBS=1): exposes the serial
+      // job-latency floor that caps scaling efficiency
+      if (sys.env.contains("GRAFT_PROBE_JOBS")) {
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+        s.sparkContext.addSparkListener(new SparkListener {
+          private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(j: SparkListenerJobStart): Unit = {
+            val name = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(60)).getOrElse("?")
+            starts.put(j.jobId, (System.nanoTime(), name))
+          }
+          override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+            Option(starts.get(j.jobId)).foreach { case (t0, name) =>
+              System.err.println(f"[job] id=${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%7.2fs $name")
+            }
+          }
+        })
+      }
       val gc0 = gcMillis
       val cpu0 = cpuNanos
       val t0 = System.nanoTime()
-      DedupPipeline.run(s, s.read.parquet(dir), GraftConf()).clusters.count()
+      val res = DedupPipeline.run(s, s.read.parquet(dir), GraftConf())
+      res.clusters.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      res.cleanup()
       val gc = (gcMillis - gc0) / 1000.0
       val cpu = (cpuNanos - cpu0) / 1e9
       println(f"[probe] cores=$cores%2d wall=$wall%7.2fs cpu=$cpu%8.2fs gc=$gc%6.2fs clips/sec=${n / wall}%8.1f")
       s.stop()
     }
+    StageBench.deleteRec(base.toFile)
   }
 }

@@ -91,5 +91,12 @@ object StageBench {
     }
 
     spark.stop()
+    deleteRec(new java.io.File(dir)) // ~10 GB of synthetic clips per run
+  }
+
+  def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
   }
 }
