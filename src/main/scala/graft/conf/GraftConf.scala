@@ -28,8 +28,18 @@ final case class GraftConf(
     audioJaccardThreshold: Double = 0.6,
     // substring pass: seed-window width in tokens
     substringWindow: Int = 10,
-    // skew: max bucket size before salted chain-pair fallback (SURVEY §7.4)
-    bucketCap: Int = 512,
+    // skew: max bucket size before the chain-pair fallback (SURVEY §7.4).
+    // Buckets above this emit O(s) chain pairs instead of O(s²). True dup
+    // groups are small (≤7 variants in the fixture; bounded in any real
+    // corpus), while common-phrase band collisions grow ∝ corpus size —
+    // measured at 800k clips, buckets of 17–128 members (the Zipf tail of
+    // shared phrases, sizes ∝ corpus) contributed 42M of 59M candidate
+    // pairs with essentially no true dups among them (the reference's own
+    // bucket scans are likewise truncated at the retrieval budget,
+    // StdHashIndex.h:159-183). 16 keeps every true group (≤7 variants)
+    // on the exact path and pushes collision buckets onto the linear
+    // chain path — the asymptotic regime any fixed cap reaches at scale.
+    bucketCap: Int = 16,
     chainWidth: Int = 2,
     // connected components
     maxCcIterations: Int = 50,

@@ -155,6 +155,50 @@ object AnnQueries {
   private val annRecallSparkSql = annRecallSql(sparkWith, sparkAnnCtes, sparkDot)
   private val annRecallDuckSql = annRecallSql(duckWith, duckAnnCtes, duckDot)
 
+  /** Q6 — the instrumented query (`testQuery`,
+    * `/root/reference/hashIndex/HashCollection.h:153-192`): the reference
+    * preserves candidate DISCOVERY ORDER so recall-vs-candidate-budget
+    * curves can be computed (`TestLSH.h:186-197`). The ball probe discovers
+    * buckets in expanding Hamming order (P2), so discovery rank =
+    * row_number over (hamming distance, id); recall@r = exact top-k hits
+    * within the first r discovered candidates, per query × budget. */
+  val CurveBudgets: Seq[Int] = Seq(1, 5, 10, 20)
+
+  private def recallCurveSql(withCtes: String, annCtes: String,
+      xor: (String, String) => String, dot: (String, String) => String,
+      budgetsRel: String): String =
+    s"""WITH $withCtes,
+       |$annCtes,
+       |disc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |      bit_count(${xor("q.code", "b.code")}) ASC, c.neighbor_id ASC) AS BIGINT) AS drank
+       |  FROM cand c
+       |  JOIN q ON q.vec_id = c.query_id
+       |  JOIN codes b ON b.vec_id = c.neighbor_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) DESC,
+       |      b.vec_id ASC) AS BIGINT) AS rank
+       |  FROM q JOIN codes b ON q.vec_id <> b.vec_id) t
+       |WHERE rank <= $TopK),
+       |budgets AS ($budgetsRel)
+       |SELECT exact.query_id AS query_id, budgets.r AS r,
+       |  COUNT(disc.neighbor_id) AS hits, COUNT(*) AS k
+       |FROM exact CROSS JOIN budgets
+       |LEFT JOIN disc ON disc.query_id = exact.query_id
+       |  AND disc.neighbor_id = exact.neighbor_id AND disc.drank <= budgets.r
+       |GROUP BY exact.query_id, budgets.r ORDER BY query_id, r""".stripMargin
+
+  private val budgetsList = CurveBudgets.mkString(", ")
+  private val recallCurveSparkSql = recallCurveSql(sparkWith, sparkAnnCtes,
+    (a, b) => s"$a ^ $b", sparkDot,
+    s"SELECT CAST(r AS BIGINT) AS r FROM (SELECT explode(array($budgetsList)) AS r)")
+  private val recallCurveDuckSql = recallCurveSql(duckWith, duckAnnCtes,
+    (a, b) => s"xor($a, $b)", duckDot,
+    s"SELECT CAST(unnest([$budgetsList]) AS BIGINT) AS r")
+
   private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
     view(spark, dir, "embeddings")
     spark.sql(sql)
@@ -162,11 +206,13 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_hamming_knn" -> ((s, d) => q(s, d, annKnnSparkSql)),
-    "q_ann_recall" -> ((s, d) => q(s, d, annRecallSparkSql))
+    "q_ann_recall" -> ((s, d) => q(s, d, annRecallSparkSql)),
+    "q_ann_recall_curve" -> ((s, d) => q(s, d, recallCurveSparkSql))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_hamming_knn" -> annKnnDuckSql,
-    "q_ann_recall" -> annRecallDuckSql
+    "q_ann_recall" -> annRecallDuckSql,
+    "q_ann_recall_curve" -> recallCurveDuckSql
   )
 }
