@@ -76,4 +76,30 @@ object PropertySpec extends Properties("kernels") {
     val sh = Shingles.longShingles(seq.toArray, 3, 42L)
     sh.toSeq == sh.toSeq.distinct.sorted
   }
+
+  // The multiprobe plan's completeness argument (AnnQueries): any pair of
+  // 16-bit codes within Hamming radius 6 must share a probed bucket when
+  // each of the 4 4-bit bands is probed at every XOR mask of the
+  // radius-⌊6/4⌋ ball (pigeonhole: 4 bands all differing by ≥ 2 ⇒ total
+  // ≥ 8 > 6). The SQL equi-join keys are exactly these (band, key ^ mask)
+  // pairs, so this property is the plan's candidate-completeness proof.
+  property("bandedMultiprobeCoversTheHammingBall") = {
+    val masks = Probes.ballMasks(4, 1)
+    def probedTogether(a: Long, b: Long): Boolean =
+      (0 until 4).exists { band =>
+        val ka = (a >>> (band * 4)) & 15
+        val kb = (b >>> (band * 4)) & 15
+        masks.exists(m => (ka ^ m) == kb)
+      }
+    // generate b INSIDE the ball (flip ≤ 6 distinct bits of a) so the
+    // property exercises the covering claim, not the vacuous branch
+    val inBall = for {
+      a <- Gen.chooseNum(0L, (1L << 16) - 1)
+      k <- Gen.chooseNum(0, 6)
+      bits <- Gen.pick(k, 0 until 16)
+    } yield (a, bits.foldLeft(a)((acc, i) => acc ^ (1L << i)))
+    forAll(inBall) { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b) <= 6 && probedTogether(a, b)
+    }
+  }
 }
