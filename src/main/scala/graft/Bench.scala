@@ -96,7 +96,10 @@ object Bench {
     // gate needs W ≥ 22·F, so 1M clips gives ~35% margin).
     val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "2").toInt
     val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "1000000").toInt
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+    // reps=3 (was 2): the shared host's load bursts put a 1.7x spread on
+    // identical 2-core legs in the round-2 driver run; a third interleaved
+    // rep makes best-of robust to one burst landing on each level once
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val loadWait = sys.env.getOrElse("GRAFT_BENCH_LOADWAIT", "150").toInt
 
     // ---- phase 1: headline queries --------------------------------------
@@ -106,14 +109,18 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark1, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // a failed query records ONLY an errors entry — its time-to-failure is
+    // meaningless and must not masquerade as a fast success in "queries"
     val qTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+      SparkEntry.queries.get(name).flatMap { fn =>
         val t0 = System.nanoTime()
-        try fn(spark1, sfDir).count()
-        catch { case e: Throwable =>
+        try {
+          fn(spark1, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           qErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     }
     // materialize the input table once (untimed)

@@ -24,12 +24,14 @@ object Verify {
     }
     // Inputs for the recursive-closure cluster oracle: the accepted edge
     // list + vertex set of the SAME pipeline run the cluster queries read
-    // (ClipQueries caches the run per session).
+    // (ClipQueries caches the run per session). Underscore-prefixed dirs:
+    // these are oracle INPUTS, not queries — the prefix keeps conventional
+    // directory enumerations from listing them as rows-only query outputs.
     try {
       graft.queries.ClipQueries.acceptedEdges(spark)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cc_edges")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_cc_edges")
       graft.queries.ClipQueries.vertices(spark)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cc_vertices")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_cc_vertices")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] cc oracle dump failed: ${e.getMessage}")
     }

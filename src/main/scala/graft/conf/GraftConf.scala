@@ -41,6 +41,12 @@ final case class GraftConf(
     // chain path — the asymptotic regime any fixed cap reaches at scale.
     bucketCap: Int = 16,
     chainWidth: Int = 2,
+    // absolute per-group buffer bound for the pair generator: members up to
+    // this count are buffered (sorted, deterministic chain); members BEYOND
+    // it are chain-paired in a bounded-memory streaming pass (arrival
+    // order) bridged to the buffered chain — connected, never dropped,
+    // flagged `capped`. See CandidatePairs for the determinism caveat.
+    bucketHardStop: Int = 4 * 1000 * 1000,
     // connected components
     maxCcIterations: Int = 50,
     // checkpointing
@@ -49,5 +55,8 @@ final case class GraftConf(
   def textNumPerm: Int = textBands * textRows
   def audioNumPerm: Int = audioBands * audioRows
   require(simhashBits % simhashBands == 0, "simhash bands must divide bits")
+  require(bucketHardStop > bucketCap && bucketHardStop >= 2,
+    "bucketHardStop must exceed bucketCap")
+  require(chainWidth >= 1, "chainWidth must be positive")
   def simhashBandBits: Int = simhashBits / simhashBands
 }

@@ -22,9 +22,12 @@ package graft.kernel
   * This class is the single-node semantics oracle for that plan.
   *
   * Deviation from the reference, documented: bucket members are returned in
-  * (code, id) order rather than insertion order — the candidate SET per
-  * (query, depth) is identical, and downstream exact re-ranking (Q7/Q8) is
-  * order-insensitive.
+  * (code, id) order rather than insertion order — the UNCAPPED candidate SET
+  * per (query, depth) is identical, and downstream exact re-ranking (Q7/Q8)
+  * is order-insensitive. When a `maxResults` cap binds, however, `query`
+  * keeps the lowest-(code, id) slice of the chosen level, whereas the
+  * reference truncates its insertion-order accumulation — so the CAPPED
+  * candidate set (not just its order) can differ from the reference's.
   */
 final class LshForest private (
     sortedCodes: Array[Long],
@@ -90,6 +93,10 @@ object LshForest {
   /** B4 build: the trie-insert loop collapses to one sort by (code, id) —
     * the same "shuffle is the index" reading as B1's bucket build. */
   def build(codes: Array[Long], bits: Int): LshForest = {
+    // enforce the nonnegative-code precondition here, not just in the class
+    // doc: lowerBound compares signed Longs while prefixRange shifts
+    // unsigned, so a negative code would silently corrupt range queries
+    require(codes.forall(_ >= 0), "codes must be nonnegative (< 2^62)")
     val idx = codes.indices.toArray.map(i => (codes(i), i)).sortBy(identity)
     new LshForest(idx.map(_._1), idx.map(_._2), bits)
   }

@@ -76,7 +76,10 @@ object Rdhf {
       var k = 0L
       val taken = collection.mutable.Set.empty[Int] ++ truth + i
       while (picked < nonPerQuery && k < 50L * nonPerQuery) {
-        val cand = (Hashing.derive(seed ^ 0x5a5aL, i.toLong * 1000003L + k).abs % n).toInt
+        // floorMod, not .abs%: Long.MinValue.abs is negative and would
+        // produce a negative index (2^-64 per draw, but free to close)
+        val cand = java.lang.Math.floorMod(
+          Hashing.derive(seed ^ 0x5a5aL, i.toLong * 1000003L + k), n.toLong).toInt
         if (!taken(cand)) {
           qi += i; dj += cand; v += -1.0
           taken += cand

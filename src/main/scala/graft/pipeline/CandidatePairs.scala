@@ -26,6 +26,17 @@ import scala.collection.mutable.ArrayBuffer
   * within a bucket of true dups are transitive through verification) while
   * bounding blowup. Capped buckets are flagged (`capped`), never silently
   * dropped, and surface in stage lineage.
+  *
+  * Memory bound: a single task must not buffer a pathological bucket's ids
+  * without limit, so at most `bucketHardStop` members are buffered (sorted,
+  * deterministic chain); members beyond that are chain-paired in a
+  * STREAMING pass — each overflow member pairs with the previous
+  * `chainWidth` members in arrival order, bridged to the tail of the sorted
+  * chain, O(chainWidth) memory. Nothing is dropped and the bucket stays
+  * connected; the trade, documented: overflow pairs depend on shuffle
+  * arrival order, so output for groups above `bucketHardStop` (4M default —
+  * never reached by real band buckets, which `bucketCap` already chains) is
+  * connected-but-nondeterministic rather than silently truncated.
   */
 object CandidatePairs {
 
@@ -46,7 +57,7 @@ object CandidatePairs {
     import spark.implicits._
     val cap = conf.bucketCap
     val width = conf.chainWidth
-    val hardStop = 4 * 1000 * 1000 // absolute group-buffer safety bound
+    val hardStop = conf.bucketHardStop
     bands
       .select($"band_key", $"src", $"clip_id")
       .as[(Long, Int, String)]
@@ -54,29 +65,59 @@ object CandidatePairs {
       .flatMapGroups { (_: Long, rows: Iterator[(Long, Int, String)]) =>
         val ids = new ArrayBuffer[String]()
         var src = 0
-        var n = 0
-        while (rows.hasNext && n < hardStop) {
+        while (rows.hasNext && ids.length < hardStop) {
           val r = rows.next()
           ids += r._3
           src |= r._2
-          n += 1
         }
-        if (ids.length < 2) Iterator.empty
+        if (ids.length < 2) Iterator.empty // hardStop ≥ 2 ⇒ group exhausted
         else {
           val sorted = ids.distinct.sorted
-          if (sorted.length < 2) Iterator.empty
-          else if (sorted.length <= cap) {
-            for {
-              i <- sorted.indices.iterator
-              j <- (i + 1) until sorted.length
-            } yield (sorted(i), sorted(j), src, false)
-          } else {
-            for {
-              i <- sorted.indices.iterator
-              d <- (1 to width).iterator
-              if i + d < sorted.length
-            } yield (sorted(i), sorted(i + d), src, true)
-          }
+          val head: Iterator[(String, String, Int, Boolean)] =
+            if (sorted.length < 2) Iterator.empty
+            else if (sorted.length <= cap) {
+              for {
+                i <- sorted.indices.iterator
+                j <- (i + 1) until sorted.length
+              } yield (sorted(i), sorted(j), src, false)
+            } else {
+              for {
+                i <- sorted.indices.iterator
+                d <- (1 to width).iterator
+                if i + d < sorted.length
+              } yield (sorted(i), sorted(i + d), src, true)
+            }
+          val tail: Iterator[(String, String, Int, Boolean)] =
+            if (!rows.hasNext) Iterator.empty
+            else {
+              // streaming overflow chain (see class doc): ring buffer of the
+              // last `width` members, seeded from the sorted chain's tail so
+              // overflow members stay connected to the buffered component
+              val window = new Array[String](width)
+              var filled = 0
+              var pos = 0
+              def push(x: String): Unit = {
+                window(pos) = x
+                pos = (pos + 1) % width
+                if (filled < width) filled += 1
+              }
+              sorted.takeRight(width).foreach(push)
+              rows.flatMap { r =>
+                val x = r._3
+                src |= r._2
+                val out = new ArrayBuffer[(String, String, Int, Boolean)](filled)
+                var k = 0
+                while (k < filled) {
+                  val w = window(k)
+                  if (w != x)
+                    out += (if (x < w) (x, w, src, true) else (w, x, src, true))
+                  k += 1
+                }
+                push(x)
+                out.iterator
+              }
+            }
+          head ++ tail
         }
       }
       .toDF("a", "b", "sources", "capped")

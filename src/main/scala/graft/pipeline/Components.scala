@@ -16,22 +16,35 @@ import org.apache.spark.storage.StorageLevel
   *  - Only edge-endpoint vertices enter the iteration. Singletons (the vast
   *    majority of a deduped corpus) are attached at the end with a single
   *    left join — the loop's working set is O(|edges|), not O(|corpus|).
+  *  - ONE Spark job per round: the round's min-aggregated labels are
+  *    lazily local-checkpointed and the convergence fingerprint aggregate
+  *    is the action that materializes them — computation, lineage
+  *    truncation, caching, and convergence detection share a single job
+  *    (a per-JOB latency floor is what caps local scaling efficiency; a
+  *    separate fingerprint job per round doubled the loop's floor).
   *  - Convergence is detected by an order-insensitive label fingerprint
-  *    (bit_xor of xxhash64(vertex, label)) — one cached-scan aggregate per
-  *    round instead of a join against the previous labels. Labels only ever
-  *    decrease, so fingerprint equality ⇔ fixpoint up to hash cancellation:
+  *    (bit_xor of xxhash64(vertex, label)) over the round's min-aggregated
+  *    labels. Labels only ever decrease, so fingerprint equality ⇔ the
+  *    propagation fixpoint (= per-component min) up to hash cancellation:
   *    a change set whose per-row old⊕new hashes XOR to zero (probability
   *    2^-64 per round, the single-collision case being one of them) would
   *    terminate one round early; accepted and documented.
   *  - One pointer-jump join per round (label ← label∘label) turns the
   *    chain-shaped components produced by the skew-capped pair generator
-  *    into O(log d) rounds.
+  *    into O(log d) rounds. The jump is applied LAZILY on top of the
+  *    cached min-aggregation (both sides of its self-join scan the cache —
+  *    no recompute of the aggregation subplan, which plain exchange reuse
+  *    does not dedupe across the nested self-join).
+  *  - The symmetrized edge list is pre-partitioned on the join key and
+  *    persisted once, so the per-round message join reshuffles only the
+  *    (much smaller) label side; the edge side is a cache scan every
+  *    round.
   *  - Lineage truncation per round: reliable `checkpoint()` under
   *    `checkpointDir` (an executor loss mid-loop recovers from files —
-  *    `localCheckpoint` blocks would die with the executor), else eager
-  *    `localCheckpoint`. The previous round's blocks are freed once the
-  *    next round is materialized, so long runs don't accumulate
-  *    block-manager storage.
+  *    `localCheckpoint` blocks would die with the executor), else lazy
+  *    `localCheckpoint` materialized by the fingerprint action. The
+  *    previous round's blocks are freed once the next round is
+  *    materialized, so long runs don't accumulate block-manager storage.
   *  - AQE is disabled inside the loop: re-planning every tiny iterative
   *    join costs more than it saves; it is restored afterwards.
   *
@@ -59,8 +72,11 @@ object Components {
       val reliable = checkpointDir.isDefined
       if (reliable && sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(checkpointDir.get + "/cc-rdd")
+      // Reliable mode materializes eagerly (checkpoint files must exist for
+      // fault recovery); local mode defers to the caller's next action —
+      // here always the fingerprint aggregate — so each round is one job.
       def ckpt(df: DataFrame): DataFrame =
-        if (reliable) df.checkpoint() else df.localCheckpoint(true)
+        if (reliable) df.checkpoint() else df.localCheckpoint(false)
 
       // Per-round block rotation: free the previous round's truncated-
       // lineage blocks once the current round is materialized (they can no
@@ -73,32 +89,41 @@ object Components {
         prevRoundIds = created
       }
 
-      // edges are distinct unordered pairs upstream (candidates are
-      // groupBy(a,b)-deduped), so the symmetrized list needs no distinct —
-      // and min-aggregation is multiset-safe anyway.
-      val und = edges.select($"a".as("src"), $"b".as("dst"))
-        .union(edges.select($"b".as("src"), $"a".as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
       // The loop's working set is O(|edges|) — orders of magnitude smaller
       // than the corpus after endpoint restriction. Size its shuffles by its
       // own data volume (≈50k rows/partition), clamped to [4, 8×cores]: at
       // test scale this collapses session-default microshuffles to a
       // handful, while edge volumes large enough to be real work still
-      // spread across every core. Restored before the final corpus-sized
-      // join below.
-      val undRows = und.count()
+      // spread across every core. Sized from the edge count (one cheap scan
+      // of the already-materialized verify stage) BEFORE building the
+      // symmetrized list, so the list can be pre-partitioned on its join
+      // key in the same pass that caches it. Restored before the final
+      // corpus-sized join below.
+      val edgeRows = edges.count()
       val cores = spark.sparkContext.defaultParallelism
       val loopParts = math.min(math.max(8L * cores, 4L),
-        math.max(4L, undRows / 50000L)).toInt
+        math.max(4L, 2L * edgeRows / 50000L)).toInt
       spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
+      // edges are distinct unordered pairs upstream (candidates are
+      // groupBy(a,b)-deduped), so the symmetrized list needs no distinct —
+      // and min-aggregation is multiset-safe anyway. Pre-partitioned and
+      // pre-sorted on the message-join key: the cached partitioning (and,
+      // where the planner honors cached ordering, the sort) satisfies the
+      // join requirement, so each round reshuffles only the label side.
+      val und = edges.select($"a".as("src"), $"b".as("dst"))
+        .union(edges.select($"b".as("src"), $"a".as("dst")))
+        .repartition(loopParts, $"src")
+        .sortWithinPartitions($"src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       def fingerprint(labels: DataFrame): Long =
         labels.agg(coalesce(expr("bit_xor(xxhash64(clip_id, label))"), lit(0L)))
           .head().getLong(0)
 
       // label ← label(label): the shortcut only improves (invariant
-      // label(v) ≤ v).
+      // label(v) ≤ v). Applied lazily on top of the round's CACHED
+      // min-aggregation — both join sides scan the cache.
       def jump(m: DataFrame): DataFrame =
         m.join(m.select($"clip_id".as("label"), $"label".as("ll")), Seq("label"))
           .select($"clip_id", $"ll".as("label"))
@@ -109,11 +134,14 @@ object Components {
       // covers the whole endpoint vertex set without a separate
       // distinct + identity-label pass.
       var before = persistedIds
-      var labels = ckpt(
+      val minned0 = ckpt(
         und.groupBy($"dst".as("clip_id")).agg(min($"src").as("m"))
           .select($"clip_id", least($"clip_id", $"m").as("label")))
-      var fp = fingerprint(labels)
+      // the fingerprint action materializes the aggregation (and the und
+      // cache): one job for compute + truncate + converge-check
+      var fp = fingerprint(minned0)
       rotateBlocks(before)
+      var labels = jump(minned0)
 
       val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
       var converged = false
@@ -125,16 +153,16 @@ object Components {
         val msgs = und
           .join(labels.withColumnRenamed("clip_id", "src"), Seq("src"))
           .select($"dst".as("clip_id"), $"label")
-        val minned = labels.union(msgs)
-          .groupBy($"clip_id").agg(min($"label").as("label"))
-        // one pointer jump per round: measured at 400k clips, a second
-        // in-round jump duplicates the minned subplan (exchange reuse does
-        // not dedupe the nested self-joins) for zero round reduction —
-        // convergence here is propagation-bound, not pointer-depth-bound
-        val next = ckpt(jump(minned))
-        val nfp = fingerprint(next)
+        val nextMin = ckpt(
+          labels.union(msgs).groupBy($"clip_id").agg(min($"label").as("label")))
+        // Convergence compares successive MIN-AGGREGATIONS: nextMin is a
+        // deterministic function of the previous round's minned, so equal
+        // fingerprints ⇒ every later round is identical ⇒ the propagation
+        // fixpoint (= per-component min) is reached. The jump stays lazy:
+        // it only accelerates propagation and is identity at the fixpoint.
+        val nfp = fingerprint(nextMin)
         rotateBlocks(before)
-        labels = next
+        labels = jump(nextMin)
         converged = nfp == fp
         fp = nfp
         iter += 1

@@ -26,7 +26,9 @@ import CrossSql._
   *      must agree within [[BandRadius]] on ≥1 band (pigeonhole:
   *      4 bands all differing by ≥2 ⇒ total ≥ 8 > 6), so the probe join
   *      dominates the ball and the post-join `bit_count(xor) ≤ r` filter
-  *      restores exactness;
+  *      restores exactness; the gather is truncated at the per-query
+  *      retrieval budget [[GatherCap]] (the reference's early exit) in
+  *      expanding-distance order;
   *   3. exact re-rank by cosine (Q7) + per-query top-k rank window (Q8).
   *
   * The DuckDB oracle keeps the direct `bit_count(xor(a,b)) ≤ r` theta
@@ -60,6 +62,21 @@ object AnnQueries {
   /** P2 expanding-ball XOR masks actually executed in the plan. */
   val BandProbeMasks: Array[Long] = Probes.ballMasks(BandBits, BandRadius)
 
+  /** Per-query retrieval budget on the candidate gather — the reference's
+    * early exit (`StdHashIndex.h:129-157` at `:150`: stop probing once
+    * enough candidates are retrieved) as a deterministic rank cap ordered
+    * by (Hamming distance, id), i.e. the expanding-ball discovery order.
+    * Without it a dense duplicate region floods the exact re-rank with
+    * unbounded candidates — the one 100 TB hazard the uncapped plan had.
+    *
+    * Cross-dialect equivalence: the Spark probe join gathers a SUPERSET of
+    * the Hamming ball (pigeonhole), but every extra has distance
+    * > [[ProbeRadius]], strictly greater than every ball member's — so
+    * ball members' (distance, id) ranks are identical whether computed
+    * within the superset (Spark) or within the exact ball (oracle), and
+    * the post-cap `bit_count ≤ r` filter leaves the same capped set. */
+  val GatherCap = 128
+
   private def sparkDot(a: String, b: String): String =
     s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))"
   private def duckDot(a: String, b: String): String =
@@ -91,10 +108,19 @@ object AnnQueries {
        |    (shiftright(code, band_idx * $BandBits) & $bandMask) ^ pm AS band_key
        |  FROM q LATERAL VIEW explode(sequence(0, ${Bands - 1})) tb AS band_idx
        |       LATERAL VIEW explode(array($probes)) tm AS pm),
-       |cand_ids AS (
+       |cand0 AS (
        |  SELECT DISTINCT qp.vec_id AS query_id, bb.vec_id AS neighbor_id
        |  FROM qp JOIN bb ON qp.band_idx = bb.band_idx AND qp.band_key = bb.band_key
        |  WHERE qp.vec_id <> bb.vec_id),
+       |cand_ids AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c0.query_id, c0.neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY c0.query_id
+       |        ORDER BY bit_count(cq.code ^ cb.code) ASC, c0.neighbor_id ASC) AS BIGINT) AS crank
+       |    FROM cand0 c0
+       |    JOIN q cq ON cq.vec_id = c0.query_id
+       |    JOIN codes cb ON cb.vec_id = c0.neighbor_id) rc
+       |  WHERE crank <= $GatherCap),
        |cand AS (
        |  SELECT ci.query_id, ci.neighbor_id,
        |    ${sparkDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
@@ -109,14 +135,29 @@ object AnnQueries {
   }
 
   /** DuckDB oracle chain: the same candidate set spelled as the direct
-    * Hamming predicate (independent of the probe mechanism). */
+    * Hamming predicate (independent of the probe mechanism), with the SAME
+    * (distance, id)-ordered rank cap — see [[GatherCap]] for why the capped
+    * sets coincide. */
   private val duckAnnCtes: String =
     s"""q AS (SELECT * FROM codes WHERE vec_id % $QueryStride = 0),
-       |cand AS (
+       |cand0 AS (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ${duckDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
+       |    bit_count(xor(q.code, b.code)) AS hd
        |  FROM q JOIN codes b ON q.vec_id <> b.vec_id
        |    AND bit_count(xor(q.code, b.code)) <= $ProbeRadius),
+       |cand_ids AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c0.query_id, c0.neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY c0.query_id
+       |        ORDER BY c0.hd ASC, c0.neighbor_id ASC) AS BIGINT) AS crank
+       |    FROM cand0 c0) rc
+       |  WHERE crank <= $GatherCap),
+       |cand AS (
+       |  SELECT ci.query_id, ci.neighbor_id,
+       |    ${duckDot("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS score
+       |  FROM cand_ids ci
+       |  JOIN q ON q.vec_id = ci.query_id
+       |  JOIN codes b ON b.vec_id = ci.neighbor_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank

@@ -31,8 +31,20 @@ object ClipQueries {
     * intermediates from redundant runs. */
   private val pipelineCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DedupPipeline.Result]()
-  private def pipeline(spark: SparkSession): DedupPipeline.Result =
+  private def pipeline(spark: SparkSession): DedupPipeline.Result = {
+    // evict entries of stopped sessions (releasing their persisted blocks)
+    // — a long-lived JVM cycling sessions otherwise leaks both the session
+    // references and the runs' persisted signature/verified blocks
+    val it = pipelineCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.sparkContext.isStopped) {
+        try e.getValue.cleanup() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
     pipelineCache.computeIfAbsent(spark, s => DedupPipeline.run(s, clips(s), conf))
+  }
 
   /** Accepted dup edges of the cached pipeline run (oracle input dumped by
     * [[graft.Verify]] for the DuckDB recursive-closure check). */
@@ -58,16 +70,16 @@ object ClipQueries {
 
   /** DuckDB oracle for the clustering stage: min-label transitive closure
     * over the SAME accepted-edge set the pipeline clustered (dumped to
-    * `{GRAFT_OUT}/cc_edges` + `cc_vertices` by [[graft.Verify]], which
+    * `{GRAFT_OUT}/_cc_edges` + `_cc_vertices` by [[graft.Verify]], which
     * substitutes the placeholder with the absolute out dir). Labels are the
     * lexicographic min clip_id per component — exactly
     * [[graft.pipeline.Components]]' fixpoint — so this independently checks
     * the hash-min + pointer-doubling iteration end to end. */
   private val closureCte =
     """WITH RECURSIVE
-      |e AS (SELECT a, b FROM read_parquet('{GRAFT_OUT}/cc_edges/*.parquet')),
+      |e AS (SELECT a, b FROM read_parquet('{GRAFT_OUT}/_cc_edges/*.parquet')),
       |und AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-      |verts AS (SELECT clip_id FROM read_parquet('{GRAFT_OUT}/cc_vertices/*.parquet')),
+      |verts AS (SELECT clip_id FROM read_parquet('{GRAFT_OUT}/_cc_vertices/*.parquet')),
       |reach(v, lbl) AS (
       |  SELECT clip_id, clip_id FROM verts
       |  UNION

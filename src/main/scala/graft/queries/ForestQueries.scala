@@ -20,8 +20,10 @@ import CrossSql._
   *   3. per (query, table), `chosen` picks the deepest level (smallest s)
   *      with ≥ MinCand candidates, backing off to MaxDepth otherwise — the
   *      reference's "expand until minRetrieved" early exit;
-  *   4. candidates union across tables (Q4, DISTINCT), exact cosine
-  *      re-rank (Q7) + top-k rank window (Q8).
+  *   4. candidates union across tables (Q4, DISTINCT), truncated at the
+  *      per-query retrieval budget [[GatherCap]] (the reference's
+  *      result-capped collect), exact cosine re-rank (Q7) + top-k rank
+  *      window (Q8).
   *
   * At production scale the per-level join keys are `code >> s` over 64-bit
   * codes — each (table, level) is one shuffle-partitioned equi-join, and
@@ -44,6 +46,15 @@ object ForestQueries {
   val MaxDepth = 12
   /** Q3 minRetrieved per table: expand until this many candidates. */
   val MinCand = 4 * TopK
+  /** Per-query retrieval budget on the unioned candidate gather — the
+    * reference's result-capped collect (`LSHForestHashIndex.h:161-202`:
+    * `results.size() < results.capacity()` bounds every subtree collection)
+    * as a deterministic rank cap, so a hot prefix region cannot flood the
+    * exact re-rank. Deviation, documented: the reference truncates each
+    * level in insertion order; here the unioned set is truncated by
+    * (table-0 code Hamming distance, id) — deterministic expanding
+    * code-distance order, mirroring the flat path's discovery order. */
+  val GatherCap: Int = NumTables * MinCand
 
   /** Table t's projection tag ("rp" = the flat-band path's table). */
   private def tag(t: Int): String = if (t == 0) "rp" else s"rf$t"
@@ -85,20 +96,38 @@ object ForestQueries {
        |qlv AS (SELECT * FROM lv WHERE vec_id % $QueryStride = 0)""".stripMargin
 
   /** chosen level per (query, table) + union candidates + exact re-rank —
-    * identical text in both dialects. */
-  private def forestCtes(dot: (String, String) => String): String =
-    s"""cnt AS (
-       |  SELECT ql.vec_id AS query_id, ql.t AS t, ql.s AS s, COUNT(*) AS c
-       |  FROM qlv ql JOIN lv b ON ql.t = b.t AND ql.s = b.s AND ql.pre = b.pre AND ql.vec_id <> b.vec_id
-       |  GROUP BY ql.vec_id, ql.t, ql.s),
+    * identical text in both dialects up to the XOR spelling.
+    *
+    * Scale shape: bucket sizes are PRE-AGGREGATED (`GROUP BY t, s, pre` —
+    * O(n·levels) rows) and queries join the size table, with `c = sz - 1`
+    * because a query is always a member of its own bucket. Counting by
+    * row-level join instead would materialize |Q|·n/16 rows per table at
+    * the coarsest 4-bit prefix just to count them — a quadratic-shape
+    * blowup hidden in the count stage. */
+  private def forestCtes(dot: (String, String) => String,
+      xor: (String, String) => String): String =
+    s"""sizes AS (
+       |  SELECT t, s, pre, COUNT(*) AS sz FROM lv GROUP BY t, s, pre),
+       |cnt AS (
+       |  SELECT ql.vec_id AS query_id, ql.t AS t, ql.s AS s, b.sz - 1 AS c
+       |  FROM qlv ql JOIN sizes b ON ql.t = b.t AND ql.s = b.s AND ql.pre = b.pre),
        |chosen AS (
        |  SELECT query_id, t, COALESCE(MIN(CASE WHEN c >= $MinCand THEN s END), $MaxDepth) AS s
        |  FROM cnt GROUP BY query_id, t),
-       |cand_ids AS (
+       |cand0 AS (
        |  SELECT DISTINCT ch.query_id, bl.vec_id AS neighbor_id
        |  FROM chosen ch
        |  JOIN qlv ql ON ql.vec_id = ch.query_id AND ql.t = ch.t AND ql.s = ch.s
        |  JOIN lv bl ON bl.t = ql.t AND bl.s = ql.s AND bl.pre = ql.pre AND bl.vec_id <> ch.query_id),
+       |cand_ids AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c0.query_id, c0.neighbor_id,
+       |      row_number() OVER (PARTITION BY c0.query_id
+       |        ORDER BY bit_count(${xor("qc.code", "bc.code")}) ASC, c0.neighbor_id ASC) AS crank
+       |    FROM cand0 c0
+       |    JOIN codes_0 qc ON qc.vec_id = c0.query_id
+       |    JOIN codes_0 bc ON bc.vec_id = c0.neighbor_id) rc
+       |  WHERE crank <= $GatherCap),
        |cand AS (
        |  SELECT ci.query_id, ci.neighbor_id,
        |    ${dot("qq.embedding", "b.embedding")} / (qq.nrm * b.nrm) AS score
@@ -111,18 +140,18 @@ object ForestQueries {
        |  FROM cand)""".stripMargin
 
   private def knnSql(withC: String, lvC: String,
-      dot: (String, String) => String): String =
+      dot: (String, String) => String, xor: (String, String) => String): String =
     s"""WITH $withC,
        |$lvC,
-       |${forestCtes(dot)}
+       |${forestCtes(dot, xor)}
        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
   private def recallSql(withC: String, lvC: String,
-      dot: (String, String) => String): String =
+      dot: (String, String) => String, xor: (String, String) => String): String =
     s"""WITH $withC,
        |$lvC,
-       |${forestCtes(dot)},
+       |${forestCtes(dot, xor)},
        |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK),
        |exact AS (SELECT query_id, neighbor_id FROM (
        |  SELECT qq.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -136,10 +165,13 @@ object ForestQueries {
        |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
        |GROUP BY exact.query_id ORDER BY query_id""".stripMargin
 
-  private val knnSparkSql = knnSql(sparkWith, sparkLvCtes, sparkDot)
-  private val knnDuckSql = knnSql(duckWith, duckLvCtes, duckDot)
-  private val recallSparkSql = recallSql(sparkWith, sparkLvCtes, sparkDot)
-  private val recallDuckSql = recallSql(duckWith, duckLvCtes, duckDot)
+  private val sparkXor = (a: String, b: String) => s"$a ^ $b"
+  private val duckXor = (a: String, b: String) => s"xor($a, $b)"
+
+  private val knnSparkSql = knnSql(sparkWith, sparkLvCtes, sparkDot, sparkXor)
+  private val knnDuckSql = knnSql(duckWith, duckLvCtes, duckDot, duckXor)
+  private val recallSparkSql = recallSql(sparkWith, sparkLvCtes, sparkDot, sparkXor)
+  private val recallDuckSql = recallSql(duckWith, duckLvCtes, duckDot, duckXor)
 
   private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
     view(spark, dir, "embeddings")

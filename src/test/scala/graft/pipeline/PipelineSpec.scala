@@ -112,6 +112,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped >= 119, "chain must keep the bucket connected")
   }
 
+  test("bucket overflow beyond bucketHardStop is chain-bridged, never silently dropped") {
+    // group of 40 on one band key with a tiny configured hardStop of 8:
+    // members beyond the 8th take the streaming overflow path and must all
+    // (a) appear in pairs, (b) stay connected to the buffered chain,
+    // (c) stay in the linear pair regime, (d) be flagged capped.
+    val c = conf.copy(bucketCap = 4, chainWidth = 2, bucketHardStop = 8)
+    val n = 40
+    val ids = (0 until n).map(i => f"m$i%03d")
+    val bands = ids.map(id => (99L, 1, id)).toDF("band_key", "src", "clip_id")
+    val rows = CandidatePairs.fromBands(spark, bands, c)
+      .select("a", "b", "capped").as[(String, String, Boolean)].collect()
+    assert(rows.forall(_._3), "every pair of an overflowed group must be flagged capped")
+    assert(rows.forall(r => r._1 < r._2), "pairs must be endpoint-ordered")
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    assert(pairs.flatMap(p => Set(p._1, p._2)) === ids.toSet,
+      "every member (incl. overflow) must appear in at least one pair")
+    // connectivity via local union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: String): String = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert(ids.map(find).toSet.size === 1, "overflowed group must remain one component")
+    // linear regime, not O(n²)
+    assert(pairs.size <= n * 2 * c.chainWidth, s"pair count ${pairs.size} not linear")
+  }
+
   test("capped hot-phrase group still finds containment pairs beyond the chain width") {
     // > bucketCap docs share one boilerplate window; a contained doc's true
     // container sits ~190 ids away — chain pairs (width 2) alone would
