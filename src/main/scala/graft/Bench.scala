@@ -1,8 +1,7 @@
 package graft
 
-import graft.conf.GraftConf
-import graft.pipeline.DedupPipeline
 import graft.synth.ClipTableGen
+import graft.tools.BenchLeg
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — prints ONE JSON line (also written to
@@ -14,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   *     `SPARK_GRAFT_SF_DIR` (per-query seconds in "queries"; a failing
   *     query records an entry in "errors" instead of being swallowed);
   *  2. the end-to-end dedup pipeline (synth input_hint table → clusters) at
-  *     two parallelism levels, `local[N]` and `local[4N]` on IDENTICAL input
-  *     — the sandbox evidence for the north rule's N vs 4N executor-cluster
-  *     scaling criterion. Reports clips/sec at both plus
-  *     efficiency = (T_N / T_4N) / 4; target ≥ 0.8 (BASELINE.md §2).
+  *     two parallelism levels on IDENTICAL input — the sandbox evidence for
+  *     the north rule's N vs 4N executor-cluster scaling criterion. Each
+  *     leg is a child JVM PINNED to exactly N physical cores (taskset), so
+  *     "N cores" means N cores — see [[graft.tools.BenchLeg]]. Reports
+  *     clips/sec at both plus efficiency = (T_N / T_4N) / 4; target ≥ 0.8
+  *     (BASELINE.md §2).
   *
   * Measurement hygiene on this SHARED host (BASELINE.md §3): one full-size
   * untimed warmup first (JIT/codegen), then GRAFT_BENCH_REPS interleaved
@@ -51,19 +52,6 @@ object Bench {
     s
   }
 
-  /** Wall seconds for one full dedup pipeline run over a pre-materialized
-    * parquet input table (the production shape: the input is an Iceberg
-    * table on storage, not a re-synthesizable view). Count forces execution. */
-  private def pipelineSecs(spark: SparkSession, inputDir: String): Double = {
-    val clips = spark.read.parquet(inputDir)
-    val t0 = System.nanoTime()
-    val res = DedupPipeline.run(spark, clips, GraftConf())
-    res.clusters.count()
-    val t = (System.nanoTime() - t0) / 1e9
-    res.cleanup()
-    t
-  }
-
   /** Synthesize the input_hint clip table once, to parquet (untimed). */
   private def materializeClips(spark: SparkSession, n: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-clips").toString + "/clips"
@@ -88,14 +76,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N=2 → 4N=8: this box has 32 real cores but is a shared host; the
-    // 2→8 pair keeps both runs clear of external load bursts, and n is
-    // sized so per-row work (~0.8 core-ms/clip incl. framework row-tax)
-    // dominates the fixed job-latency floor (efficiency is meaningless on
-    // a latency-bound run at any N; the floor is per-JOB, not per-row —
-    // measured post-cap-fix at 800k: W ≈ 622 core-s, F ≈ 26 s; the 0.8
-    // gate needs W ≥ 22·F, so 1M clips gives ~35% margin).
+    // 2→8 pair keeps both pinned core sets clear of external load (the
+    // kernel balances outside threads onto the 24+ idle cores first), and
+    // n is sized so per-row work dominates the fixed job-latency floor
+    // (efficiency is meaningless on a latency-bound run at any N; the
+    // floor is per-JOB, not per-row — measured post-CC-fusion at 200k:
+    // W ≈ 259 core-s, F ≈ 11 s; at 800k, W ≈ 1040 ≈ 95·F, projecting
+    // efficiency ≈ 0.94 under pinning).
     val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "2").toInt
-    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "1000000").toInt
+    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "800000").toInt
     // reps=3 (was 2): the shared host's load bursts put a 1.7x spread on
     // identical 2-core legs in the round-2 driver run; a third interleaved
     // rep makes best-of robust to one burst landing on each level once
@@ -128,21 +117,68 @@ object Bench {
     spark1.stop()
 
     // ---- phase 2: same job, same input, two parallelism levels ----------
-    // One full-size UNTIMED warmup first: the first full pipeline run in a
-    // JVM pays ~3x CPU to JIT compilation of the kernel + generated code
-    // (measured via process CPU time); measuring it would corrupt either
-    // level. Then `reps` interleaved (N, 4N) pairs with best-of per level:
-    // interleaving decorrelates an ambient-load burst from one level, and
-    // min is the least-contested estimate.
-    val warm = session(4 * baseN)
-    pipelineSecs(warm, inputDir)
-    warm.stop()
+    // Each leg runs as a CHILD JVM pinned with `taskset -c 0..N-1` to
+    // exactly N physical cores. A floating `local[N]` JVM is NOT an N-core
+    // cluster: shuffle/IO/GC threads borrow idle host cores beside the N
+    // task slots (measured process utilization 2.38 at local[2] on a quiet
+    // host), overstating small-leg throughput and understating the scaling
+    // quotient — the quieter the host, the worse the recorded number.
+    // Pinning bounds the whole process, and the JVM sizes its thread pools
+    // from the affinity mask, so this is the faithful emulation of the
+    // north rule's two CLUSTER SIZES. Both legs run the identical physical
+    // plan (same shuffle-partition count — the plan belongs to the job,
+    // not the cluster size). Each child warms itself on a row-limited
+    // untimed prefix (JIT + codegen); `reps` interleaved (N, 4N) pairs,
+    // best-of per level: interleaving decorrelates an ambient-load burst
+    // from one level, and min is the least-contested estimate.
+    val shufflePartitions = 2 * 4 * baseN
+    val warmupRows = math.min(
+      sys.env.getOrElse("GRAFT_BENCH_WARMUP_ROWS", "100000").toInt, nClips / 2)
+
+    def pinnedLeg(cores: Int): Option[Double] = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+      val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.tools.BenchLeg", cores.toString, inputDir,
+          shufflePartitions.toString, warmupRows.toString)
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val rc = p.waitFor()
+        val parsed = "GRAFT_LEG_SECONDS=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+        if (rc != 0 || parsed.isEmpty)
+          System.err.println(s"[bench] pinned leg cores=$cores rc=$rc parsed=$parsed — falling back in-process")
+        if (rc == 0) parsed else None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pinned leg spawn failed ($e) — falling back in-process")
+        None
+      }
+    }
+
+    // in-process fallback (no taskset / child spawn failure): warm this JVM
+    // once full-size, then run legs un-pinned as in earlier rounds
+    lazy val inProcessWarmed: Unit = {
+      val warm = BenchLeg.session(4 * baseN, shufflePartitions)
+      BenchLeg.pipelineSecs(warm, inputDir)
+      warm.stop()
+    }
+    var pinnedUsed = true
     def once(cores: Int): Double = {
       waitQuiet(loadWait)
-      val s = session(cores)
-      val t = pipelineSecs(s, inputDir)
-      s.stop()
-      t
+      pinnedLeg(cores).getOrElse {
+        pinnedUsed = false
+        inProcessWarmed
+        val s = BenchLeg.session(cores, shufflePartitions)
+        val t = BenchLeg.pipelineSecs(s, inputDir)
+        s.stop()
+        t
+      }
     }
     val order = Seq.fill(reps)(Seq(baseN, 4 * baseN)).flatten
     val times = order.map(c => c -> once(c))
@@ -164,7 +200,7 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + tN + t4N
     val dedup =
-      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"raw_runs":$raw}"""
+      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedUsed,"raw_runs":$raw}"""
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.conf.GraftConf
+import graft.pipeline.DedupPipeline
+import org.apache.spark.sql.SparkSession
+
+/** One pinned scaling leg of the bench, run as a CHILD JVM under
+  * `taskset -c 0..N-1` (see [[graft.Bench]]).
+  *
+  * Why a separate process: a `local[N]` session in a floating JVM is NOT an
+  * N-core cluster — shuffle/IO/GC/codegen threads run beside the N task
+  * slots and borrow idle host cores (measured: process CPU utilization 2.38
+  * at `local[2]` on a quiet host). That understates T_N, and therefore the
+  * scaling-efficiency quotient, by exactly the amount of idle host the
+  * small leg can steal — the quieter the host, the worse the recorded
+  * number. CPU-affinity pinning bounds the WHOLE process (task slots +
+  * auxiliary threads) to N physical cores, which is what "a cluster of
+  * size N" means; the JVM also sizes its GC/netty pools from the affinity
+  * mask, so auxiliary parallelism scales with the leg too.
+  *
+  * Protocol per leg: untimed warmup on a row-limited prefix (JIT +
+  * whole-stage-codegen compilation of the same generated classes the timed
+  * run uses — a cold first run burns ~3x CPU, measured via ScaleProbe),
+  * then ONE timed full run. The parent interleaves (N, 4N) legs and takes
+  * best-of, so per-leg JVM cold-start stays out of the timed window.
+  *
+  * Shuffle partitions are FIXED (passed by the parent, same for both
+  * levels): the job's plan — partition count included — is a property of
+  * the job, not of the cluster size it runs on; giving the small leg fewer
+  * partitions would compare two different physical plans.
+  *
+  * Stdout: one machine-parseable line `GRAFT_LEG_SECONDS=<sec>`.
+  */
+object BenchLeg {
+
+  def session(cores: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-leg-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // variable-duration clips (0.2–2.0 s) skew split runtimes; finer
+      // splits keep the stage tail short at higher parallelism
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Wall seconds for one full dedup pipeline run over a pre-materialized
+    * parquet input table (the production shape: the input is a table on
+    * storage, not a re-synthesizable view). Count forces execution. */
+  def pipelineSecs(spark: SparkSession, inputDir: String): Double = {
+    val clips = spark.read.parquet(inputDir)
+    val t0 = System.nanoTime()
+    val res = DedupPipeline.run(spark, clips, GraftConf())
+    res.clusters.count()
+    val t = (System.nanoTime() - t0) / 1e9
+    res.cleanup()
+    t
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val inputDir = args(1)
+    val shufflePartitions = args(2).toInt
+    val warmupRows = args(3).toInt
+    val spark = session(cores, shufflePartitions)
+    if (warmupRows > 0) {
+      val warm = spark.read.parquet(inputDir).limit(warmupRows)
+      val res = DedupPipeline.run(spark, warm, GraftConf())
+      res.clusters.count()
+      res.cleanup()
+    }
+    val t = pipelineSecs(spark, inputDir)
+    spark.stop()
+    println(f"GRAFT_LEG_SECONDS=$t%.3f")
+  }
+}
