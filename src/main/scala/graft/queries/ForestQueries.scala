@@ -34,6 +34,15 @@ import CrossSql._
   * kNN (operator O2 pattern) — comparable with q_ann_recall's flat-band
   * multiprobe numbers (the forest runs at a smaller candidate budget:
   * ≤ NumTables·MinCand ≈ 80/query vs the radius-6 ball's ~25% of base).
+  *
+  * Q4 union-order note (documented deviation): the reference accumulates
+  * candidates table-by-table in a round-robin/depth-major interleave
+  * (`HashCollection.h:196-230`), stopping mid-table when the budget fills;
+  * the distributed DISTINCT union is SET-equivalent over complete tables,
+  * and the rank-capped gather replaces the mid-table stop with a
+  * deterministic (code-distance, id) truncation. Only discovery-order
+  * instrumentation differs; the reference's own post-union re-rank (Q7/Q8)
+  * is order-insensitive.
   */
 object ForestQueries {
 

@@ -62,6 +62,18 @@ object BenchLeg {
     t
   }
 
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val inputDir = args(1)
@@ -69,12 +81,21 @@ object BenchLeg {
     val warmupRows = args(3).toInt
     val spark = session(cores, shufflePartitions)
     if (warmupRows > 0) {
+      // repartition after limit: a bare GlobalLimit collapses to one
+      // partition and would run the warmup kernel single-threaded
       val warm = spark.read.parquet(inputDir).limit(warmupRows)
+        .repartition(shufflePartitions)
       val res = DedupPipeline.run(spark, warm, GraftConf())
       res.clusters.count()
       res.cleanup()
     }
+    val cpu0 = cpuNanos
+    val gc0 = gcMillis
     val t = pipelineSecs(spark, inputDir)
+    // timed-segment resource accounting on stderr (diagnosis only; the
+    // parent parses just the stdout GRAFT_LEG_SECONDS line)
+    System.err.println(
+      f"[leg] cores=$cores wall=$t%.1fs cpu=${(cpuNanos - cpu0) / 1e9}%.1fs gc=${(gcMillis - gc0) / 1e3}%.1fs")
     spark.stop()
     println(f"GRAFT_LEG_SECONDS=$t%.3f")
   }

@@ -97,6 +97,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cc("f") === "f")
   }
 
+  test("connected components converges on a long chain (multi-round propagation + pointer jumps)") {
+    // a 64-node path graph needs several propagation rounds even with
+    // pointer doubling — exercises the fused one-job-per-round loop
+    // (lazy checkpoint + fingerprint convergence on successive
+    // min-aggregations) beyond the 1-2 rounds small dup groups need
+    val n = 64
+    val ids = (0 until n).map(i => f"v$i%03d")
+    val vertices = ids.toDF("clip_id")
+    val edges = (0 until n - 1).map(i => (ids(i), ids(i + 1))).toDF("a", "b")
+    val cc = Components.connectedComponents(spark, vertices, edges)
+      .as[(String, String)].collect().toMap
+    assert(cc.keySet === ids.toSet)
+    assert(cc.values.toSet === Set("v000"), s"chain must collapse to one component: ${cc.values.toSet}")
+  }
+
   test("adversarial skew: one hot band key still yields one correct cluster via chain pairs") {
     // all-duplicates table: many exact copies of one master → every band key hot
     val skewConf = conf.copy(bucketCap = 8, chainWidth = 2)
