@@ -91,18 +91,21 @@ object Components {
 
       // The loop's working set is O(|edges|) — orders of magnitude smaller
       // than the corpus after endpoint restriction. Size its shuffles by its
-      // own data volume (≈50k rows/partition), clamped to [4, 8×cores]: at
-      // test scale this collapses session-default microshuffles to a
-      // handful, while edge volumes large enough to be real work still
-      // spread across every core. Sized from the edge count (one cheap scan
+      // own DATA volume only (≈50k rows/partition, floor 4): at test scale
+      // this collapses session-default microshuffles to a handful, while
+      // edge volumes large enough to be real work still spread wide. The
+      // count deliberately does NOT depend on the cluster/core count — the
+      // plan (partitioning included) is a property of the job, so the same
+      // input produces the same loop plan at every cluster size (the
+      // two-cluster-size scaling protocol compares identical plans; a
+      // cores-derived term here handed the bigger cluster extra
+      // tiny-partition rounds). Sized from the edge count (one cheap scan
       // of the already-materialized verify stage) BEFORE building the
       // symmetrized list, so the list can be pre-partitioned on its join
       // key in the same pass that caches it. Restored before the final
       // corpus-sized join below.
       val edgeRows = edges.count()
-      val cores = spark.sparkContext.defaultParallelism
-      val loopParts = math.min(math.max(8L * cores, 4L),
-        math.max(4L, 2L * edgeRows / 50000L)).toInt
+      val loopParts = math.min(4096L, math.max(4L, 2L * edgeRows / 50000L)).toInt
       spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
       // edges are distinct unordered pairs upstream (candidates are

@@ -34,10 +34,21 @@ import org.apache.spark.sql.SparkSession
 object BenchLeg {
 
   def session(cores: Int, shufflePartitions: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-leg-$cores")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // node-local scratch: a real executor writes shuffle/spill to its own
+    // node's disks, whose aggregate bandwidth scales with cluster size. The
+    // sandbox's one shared virtio disk does not — worse, its kernel I/O
+    // path burns CPU *inside* the pinned mask (measured at 800k clips,
+    // 8 pinned cores: 1534 core-s through /tmp vs 978 core-s through
+    // tmpfs for the identical job). RAM-backed local dirs restore the
+    // storage model the two-cluster-size criterion assumes. (Env
+    // SPARK_LOCAL_DIRS, set by the parent, would also work; the explicit
+    // conf keeps the in-process fallback on the same protocol.)
+    val s = sys.env.get("GRAFT_LEG_LOCAL_DIR")
+      .fold(b)(d => b.config("spark.local.dir", d))
       .config("spark.sql.adaptive.enabled", "true")
       // variable-duration clips (0.2–2.0 s) skew split runtimes; finer
       // splits keep the stage tail short at higher parallelism
@@ -74,6 +85,33 @@ object BenchLeg {
       .map(_.getCollectionTime).sum
   }
 
+  /** Process CPU by OS-thread class, from /proc/self/task/N/stat — the only
+    * window onto JVM-internal threads (GC, JIT) that ThreadMXBean can't
+    * see. Dead threads' time is lost, but Spark's task/netty pools and the
+    * GC/compiler threads are long-lived. Diagnosis only. */
+  private def threadClassCpu(): Map[String, Double] = {
+    val hz = 100.0 // USER_HZ
+    val dir = new java.io.File("/proc/self/task")
+    val out = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    files.foreach { t =>
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(t.toPath.resolve("stat")))
+        val comm = stat.substring(stat.indexOf('(') + 1, stat.lastIndexOf(')'))
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+        val cpu = (rest(11).toLong + rest(12).toLong) / hz // utime+stime
+        val cls =
+          if (comm.startsWith("GC Thread") || comm.startsWith("G1 ")) "gc"
+          else if (comm.startsWith("C1 ") || comm.startsWith("C2 ")) "jit"
+          else if (comm.startsWith("Executor task")) "task"
+          else if (comm.contains("shuffle") || comm.startsWith("netty")) "netty"
+          else "other"
+        out(cls) += cpu
+      } catch { case _: Throwable => () }
+    }
+    out.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val inputDir = args(1)
@@ -81,21 +119,32 @@ object BenchLeg {
     val warmupRows = args(3).toInt
     val spark = session(cores, shufflePartitions)
     if (warmupRows > 0) {
-      // repartition after limit: a bare GlobalLimit collapses to one
-      // partition and would run the warmup kernel single-threaded
-      val warm = spark.read.parquet(inputDir).limit(warmupRows)
-        .repartition(shufflePartitions)
+      // warm on a PART-FILE subset, not limit(n): a global limit collapses
+      // to one task that scans and then reshuffles the whole prefix
+      // single-threaded (~minutes of serial work per leg); reading k of
+      // the part files is the same parallel scan shape as the timed run.
+      // Rows are distributed uniformly across parts, so pick k by the
+      // byte fraction the warmup target represents.
+      val parts = new java.io.File(inputDir).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      val totalRows = spark.read.parquet(inputDir).count() // parquet-footer count, no scan
+      val k = math.max(1, math.min(parts.length,
+        math.ceil(parts.length.toDouble * warmupRows / math.max(1L, totalRows)).toInt))
+      val warm = spark.read.parquet(parts.take(k).map(_.getAbsolutePath): _*)
       val res = DedupPipeline.run(spark, warm, GraftConf())
       res.clusters.count()
       res.cleanup()
     }
     val cpu0 = cpuNanos
     val gc0 = gcMillis
+    val tc0 = threadClassCpu()
     val t = pipelineSecs(spark, inputDir)
     // timed-segment resource accounting on stderr (diagnosis only; the
     // parent parses just the stdout GRAFT_LEG_SECONDS line)
+    val tc = threadClassCpu().map { case (k, v) => k -> (v - tc0.getOrElse(k, 0.0)) }
+    val tcStr = tc.toSeq.sortBy(-_._2).map { case (k, v) => f"$k=$v%.0f" }.mkString(" ")
     System.err.println(
-      f"[leg] cores=$cores wall=$t%.1fs cpu=${(cpuNanos - cpu0) / 1e9}%.1fs gc=${(gcMillis - gc0) / 1e3}%.1fs")
+      f"[leg] cores=$cores wall=$t%.1fs cpu=${(cpuNanos - cpu0) / 1e9}%.1fs gc=${(gcMillis - gc0) / 1e3}%.1fs [$tcStr]")
     spark.stop()
     println(f"GRAFT_LEG_SECONDS=$t%.3f")
   }

@@ -17,7 +17,8 @@ object StageBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-stagebench")
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STAGE_PARTITIONS", (2 * cores).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -25,10 +26,19 @@ object StageBench {
     import spark.implicits._
     val conf = GraftConf()
 
+    def cpuNanos: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    // process CPU per stage beside wall: the stage whose CPU grows fastest
+    // with the core count is the one paying shared-resource (memory
+    // bandwidth / kernel I/O) contention, not real work
     def time[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
+      val c0 = cpuNanos
       val r = body
-      println(f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  cpu=${(cpuNanos - c0) / 1e9}%8.2f s")
       r
     }
 
