@@ -86,12 +86,46 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
 
-  /** Bounded wait for a quiet window before a timed leg. */
-  private def waitQuiet(maxWaitSec: Int): Unit = {
-    if (maxWaitSec <= 0) return
+  /** One-thread memory-streaming micro-probe (~0.5 s quiet): XOR-folds a
+    * 64 MiB array a few times and reports the wall seconds. The shared
+    * host's co-tenant pressure lands on the memory fabric, where neither
+    * loadavg nor steal time sees it (measured: identical pinned 800k legs
+    * spanned 134–248 s across windows with loadavg < 3 and ~0 steal the
+    * whole time) — but a bandwidth-bound probe slows down with it. */
+  private val probeArr = new Array[Long](8 * 1024 * 1024)
+  private def memProbeSec(): Double = {
     val t0 = System.nanoTime()
-    while (readLoad() > 3.0 && (System.nanoTime() - t0) / 1e9 < maxWaitSec)
+    var pass = 0
+    var acc = 0L
+    while (pass < 4) {
+      var i = 0
+      while (i < probeArr.length) { acc ^= probeArr(i) + i; i += 1 }
+      pass += 1
+    }
+    if (acc == 42L) System.err.print("") // keep the fold observable
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Bounded wait for a quiet window before a timed leg: ambient load low
+    * AND the memory-fabric probe within 20% of the best this run has seen.
+    * Falls through after maxWaitSec — legs can still land in noise; the
+    * interleaved best-of across reps is the backstop. */
+  private var probeBest = Double.MaxValue
+  /** Returns the last probe reading (recorded per leg in the JSON so a
+    * stormy leg is visible next to its wall time). */
+  private def waitQuiet(maxWaitSec: Int): Double = {
+    if (probeBest == Double.MaxValue) memProbeSec() // discard the JIT-cold first call
+    if (maxWaitSec <= 0) return memProbeSec()
+    val t0 = System.nanoTime()
+    var p = memProbeSec()
+    probeBest = math.min(probeBest, p)
+    while ((readLoad() > 3.0 || p > 1.2 * probeBest) &&
+        (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
       Thread.sleep(10000)
+      p = memProbeSec()
+      probeBest = math.min(probeBest, p)
+    }
+    p
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,9 +136,13 @@ object Bench {
     // kernel balances outside threads onto the 24+ idle cores first), and
     // n is sized so per-row work dominates the fixed job-latency floor
     // (efficiency is meaningless on a latency-bound run at any N; the
-    // floor is per-JOB, not per-row — measured post-CC-fusion at 200k:
-    // W ≈ 259 core-s, F ≈ 11 s; at 800k, W ≈ 1040 ≈ 95·F, projecting
-    // efficiency ≈ 0.94 under pinning).
+    // floor is per-JOB, not per-row). Measured quiet-window anatomy of the
+    // pinned quotient at 800k on tmpfs scratch: T2=419 s (cpu 818 core-s,
+    // 97.6% busy) vs T8=134 s (cpu 978 core-s, 91.4% busy) — the loss is
+    // ~1.2x task-thread CPU inflation at 8 threads (shared memory fabric;
+    // a real cluster's bandwidth scales with node count) plus stage-barrier
+    // wave tails, NOT GC/JIT/disk (those are pinned-leg-accounted and
+    // small). See BASELINE.md §3.
     val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "2").toInt
     val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "800000").toInt
     // reps=3 (was 2): the shared host's load bursts put a 1.7x spread on
@@ -203,21 +241,22 @@ object Bench {
       warm.stop()
     }
     var pinnedUsed = true
-    def once(cores: Int): Double = {
-      waitQuiet(loadWait)
-      pinnedLeg(cores).getOrElse {
+    def once(cores: Int): (Double, Double) = {
+      val probe = waitQuiet(loadWait)
+      val t = pinnedLeg(cores).getOrElse {
         pinnedUsed = false
         inProcessWarmed
         val s = BenchLeg.session(cores, shufflePartitions)
-        val t = BenchLeg.pipelineSecs(s, inputDir)
+        val t0 = BenchLeg.pipelineSecs(s, inputDir)
         s.stop()
-        t
+        t0
       }
+      (t, probe)
     }
     val order = Seq.fill(reps)(Seq(baseN, 4 * baseN)).flatten
-    val times = order.map(c => c -> once(c))
-    val tN = times.collect { case (c, t) if c == baseN => t }.min
-    val t4N = times.collect { case (c, t) if c == 4 * baseN => t }.min
+    val times = order.map { c => val (t, p) = once(c); (c, t, p) }
+    val tN = times.collect { case (c, t, _) if c == baseN => t }.min
+    val t4N = times.collect { case (c, t, _) if c == 4 * baseN => t }.min
     graft.tools.StageBench.deleteRec(
       new java.io.File(inputDir).getParentFile) // ~25 KB/clip of temp input
     legLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
@@ -225,8 +264,10 @@ object Bench {
     val cpsN = nClips / tN
     val cps4N = nClips / t4N
     val eff = (tN / t4N) / 4.0
-    // raw interleaved run times, for noise-spread transparency
-    val raw = times.map { case (c, t) => f"""{"cores":$c,"sec":$t%.3f}""" }
+    // raw interleaved run times + the pre-leg memory-fabric probe reading
+    // (noise-spread transparency: a stormy leg shows an elevated probe)
+    val raw = times.map { case (c, t, p) =>
+      f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f}""" }
       .mkString("[", ",", "]")
 
     val qs = (qTimes ++ Seq(

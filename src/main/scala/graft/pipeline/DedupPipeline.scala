@@ -60,8 +60,12 @@ object DedupPipeline {
     }
 
     val candidates = stage("candidates") {
+      // the substring pass reads the signature cache's ordered token
+      // hashes — the corpus parquet is scanned exactly once, by the
+      // signature stage
       CandidatePairs.fromBands(spark, bands, conf)
-        .union(SuffixDups.candidates(spark, clips, conf))
+        .union(SuffixDups.candidatesFromTokenHashes(
+          spark, signatures.select($"clip_id", $"toks_h"), conf))
         .groupBy($"a", $"b")
         .agg(expr("bit_or(sources)").as("sources"), max($"capped").as("capped"))
     }
@@ -77,7 +81,9 @@ object DedupPipeline {
     if (conf.checkpointDir.isDefined) releaseVerify()
 
     val clusters = stage("clusters") {
-      val vertices = clips.select($"clip_id")
+      // vertex set from the signature cache (one row per input row, even
+      // decode-failed ones) — not a tail-end re-scan of the corpus parquet
+      val vertices = signatures.select($"clip_id")
       val edges = verified.filter($"accepted").select($"a", $"b")
       Components.connectedComponents(spark, vertices, edges, conf.maxCcIterations,
         conf.checkpointDir)

@@ -30,24 +30,45 @@ object SuffixDups {
 
   /** clips (clip_id, transcript) → candidate substring edges
     * (a, b, sources = SrcSubstring, capped), a's text potentially inside
-    * b's, a != b. Verification happens in VerifyPairs. */
+    * b's, a != b. Verification happens in VerifyPairs. (Standalone form —
+    * tokenizes and hashes transcripts itself; the pipeline uses
+    * [[candidatesFromTokenHashes]] over the signature stage's cached
+    * `toks_h` to avoid a second corpus scan + re-tokenization.) */
   def candidates(spark: SparkSession, clips: DataFrame, conf: GraftConf): DataFrame = {
+    import spark.implicits._
+    val seed = conf.seed
+    candidatesFromTokenHashes(spark,
+      clips.select($"clip_id", $"transcript").as[(String, String)]
+        .map { case (id, text) =>
+          val toks = graft.kernel.Shingles.tokens(Option(text).getOrElse(""))
+          val toksH = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { toksH(i) = Hashing.hashString(toks(i), seed); i += 1 }
+          (id, toksH)
+        }.toDF("clip_id", "toks_h"),
+      conf)
+  }
+
+  /** Same candidate stream, fed with precomputed ordered token hashes
+    * (clip_id, toks_h) — identical windows/pairs because the window hash
+    * folds exactly these per-token hashes. */
+  def candidatesFromTokenHashes(spark: SparkSession, tokens: DataFrame,
+      conf: GraftConf): DataFrame = {
     import spark.implicits._
     val w = conf.substringWindow
     val seed = conf.seed
 
     // one pass: every W-token window (distinct per doc), first window flagged
-    val tagged = clips.select($"clip_id", $"transcript").as[(String, String)]
-      .flatMap { case (id, text) =>
-        val toks = graft.kernel.Shingles.tokens(Option(text).getOrElse(""))
-        if (toks.length < w) Iterator.empty
+    val tagged = tokens.select($"clip_id", $"toks_h").as[(String, Array[Long])]
+      .flatMap { case (id, toksH) =>
+        if (toksH == null || toksH.length < w) Iterator.empty
         else {
           val seen = new java.util.HashMap[java.lang.Long, java.lang.Boolean]()
           var i = 0
-          while (i + w <= toks.length) {
+          while (i + w <= toksH.length) {
             var h = seed ^ 0x50ff1eL
             var j = 0
-            while (j < w) { h = Hashing.combine(h, Hashing.hashString(toks(i + j), seed)); j += 1 }
+            while (j < w) { h = Hashing.combine(h, toksH(i + j)); j += 1 }
             val isSeed = i == 0
             val prev = seen.get(h)
             if (prev == null || (!prev && isSeed)) seen.put(h, isSeed)

@@ -14,7 +14,8 @@ object ScaleProbe {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"probe-$cores")
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PROBE_PARTITIONS", (2 * cores).toString))
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
@@ -38,14 +39,17 @@ object ScaleProbe {
     }
 
   def main(args: Array[String]): Unit = {
-    val n = args(0).toInt
+    // arg 0: row count to synthesize, or "dir:/path" to reuse a
+    // pre-materialized clip table (then n is only used for clips/sec)
+    val reuse = args(0).startsWith("dir:")
     val coreList = args.drop(1).map(_.toInt)
     val base = sys.env.get("GRAFT_PROBE_LOCAL_DIR")
       .map(d => java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(d), "graft-probe"))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft-probe"))
-    val dir = base.toString + "/clips"
+    val dir = if (reuse) args(0).stripPrefix("dir:") else base.toString + "/clips"
     val s0 = session(coreList.max)
-    ClipTableGen.table(s0, n).write.mode("overwrite").parquet(dir)
+    if (!reuse) ClipTableGen.table(s0, args(0).toInt).write.mode("overwrite").parquet(dir)
+    val n = if (reuse) s0.read.parquet(dir).count().toInt else args(0).toInt
     // warmup
     DedupPipeline.run(s0, s0.read.parquet(dir).limit(2000), GraftConf()).clusters.count()
     s0.stop()
@@ -57,14 +61,16 @@ object ScaleProbe {
       if (sys.env.contains("GRAFT_PROBE_JOBS")) {
         import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
         s.sparkContext.addSparkListener(new SparkListener {
-          private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
           override def onJobStart(j: SparkListenerJobStart): Unit = {
             val name = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(60)).getOrElse("?")
-            starts.put(j.jobId, (System.nanoTime(), name))
+            starts.put(j.jobId, (System.nanoTime(), cpuNanos, name))
           }
           override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-            Option(starts.get(j.jobId)).foreach { case (t0, name) =>
-              System.err.println(f"[job] id=${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%7.2fs $name")
+            // jobs are sequential in this pipeline, so a process-CPU delta
+            // per job attributes the contention to the job that paid it
+            Option(starts.get(j.jobId)).foreach { case (t0, c0, name) =>
+              System.err.println(f"[job] id=${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%7.2fs cpu=${(cpuNanos - c0) / 1e9}%8.2fs $name")
             }
           }
         })
