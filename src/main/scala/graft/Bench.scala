@@ -71,12 +71,14 @@ object Bench {
 
   /** Synthesize the input_hint clip table once, to parquet (untimed). */
   private def materializeClips(spark: SparkSession, n: Int, base: Option[java.io.File]): String = {
-    val dir = base match {
+    val tmp = (base match {
       case Some(root) =>
-        java.nio.file.Files.createTempDirectory(root.toPath, "graft-bench-clips").toString + "/clips"
+        java.nio.file.Files.createTempDirectory(root.toPath, "graft-bench-clips")
       case None =>
-        java.nio.file.Files.createTempDirectory("graft-bench-clips").toString + "/clips"
-    }
+        java.nio.file.Files.createTempDirectory("graft-bench-clips")
+    }).toFile
+    graft.tools.Scratch.claim(tmp) // PID-stamp so a killed run gets swept
+    val dir = tmp.toString + "/clips"
     ClipTableGen.table(spark, n).write.mode("overwrite").parquet(dir)
     dir
   }
@@ -172,13 +174,24 @@ object Bench {
         }
       }
     }
-    // materialize the input table once (untimed), RAM-backed when possible
+    // materialize the input table once (untimed), RAM-backed when possible.
+    // First sweep scratch leaked by any KILLED earlier bench — tmpfs pages
+    // are host RAM, and two stale 20 GiB inputs are enough to OOM this run.
+    graft.tools.Scratch.sweepDefaultRoots()
     val shm = shmRoot(nClips)
     val inputDir = materializeClips(spark1, nClips, shm)
     val legLocalRoot = shm.map { root =>
-      java.nio.file.Files.createTempDirectory(root.toPath, "graft-bench-local").toString
+      val d = java.nio.file.Files.createTempDirectory(root.toPath, "graft-bench-local")
+      graft.tools.Scratch.claim(d.toFile)
+      d.toString
     }
     spark1.stop()
+    // normal exit deletes scratch below; the hook covers SIGTERM/exceptions
+    // (SIGKILL/OOM is covered by the next run's sweep via the PID stamp)
+    sys.addShutdownHook {
+      graft.tools.StageBench.deleteRec(new java.io.File(inputDir).getParentFile)
+      legLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
+    }
 
     // ---- phase 2: same job, same input, two parallelism levels ----------
     // Each leg runs as a CHILD JVM pinned with `taskset -c 0..N-1` to
