@@ -86,11 +86,24 @@ object AnnQueries {
     // per-vector norm precomputed once (identical double fold as per-pair)
     s"codes AS (SELECT vec_id, embedding, sqrt($normExpr) AS nrm, CAST(${EmbedQueries.codeExpr(bitDot)} AS BIGINT) AS code FROM embeddings CROSS JOIN sgn)"
 
-  private val sparkCodes = codesCte(EmbedQueries.sparkBitDot, sparkDot("embedding", "embedding"))
   private val duckCodes = codesCte(EmbedQueries.duckBitDot, duckDot("embedding", "embedding"))
 
-  private val sparkWith =
-    s"${sparkSgnCte("rp", EmbedQueries.CodeBits, Dim)},\n$sparkCodes"
+  /** The table-0 ("rp") code table's defining SQL — materialized once per
+    * (session, dir) via [[CodesCache]] (see there for why: CTE inlining
+    * rebuilt it under every reference). Shared with [[ForestQueries]],
+    * whose table 0 is the same projection. */
+  private[queries] val codesRpSql: String =
+    s"""WITH ${sparkSgnCte("rp", EmbedQueries.CodeBits, Dim)}
+       |SELECT vec_id, embedding, sqrt(${sparkDot("embedding", "embedding")}) AS nrm,
+       |  CAST(${EmbedQueries.codeExpr(EmbedQueries.sparkBitDot)} AS BIGINT) AS code
+       |FROM embeddings CROSS JOIN sgn""".stripMargin
+
+  /** Registered view name of the materialized rp code table. */
+  private[queries] def codesRpView(spark: SparkSession, dir: String): String =
+    CodesCache.materialize(spark, dir, "codes_rp", codesRpSql)
+
+  private def sparkWith(spark: SparkSession, dir: String): String =
+    s"codes AS (SELECT vec_id, embedding, nrm, code FROM ${codesRpView(spark, dir)})"
   private val duckWith =
     s"${duckSgnCte("rp", EmbedQueries.CodeBits, Dim)},\n$duckCodes"
 
@@ -169,7 +182,6 @@ object AnnQueries {
        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  private val annKnnSparkSql = annKnnSql(sparkWith, sparkAnnCtes)
   private val annKnnDuckSql = annKnnSql(duckWith, duckAnnCtes)
 
   /** O2 HashError as a query: per query point, how many of the exact top-k
@@ -193,7 +205,6 @@ object AnnQueries {
        |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
        |GROUP BY exact.query_id ORDER BY query_id""".stripMargin
 
-  private val annRecallSparkSql = annRecallSql(sparkWith, sparkAnnCtes, sparkDot)
   private val annRecallDuckSql = annRecallSql(duckWith, duckAnnCtes, duckDot)
 
   /** Q6 — the instrumented query (`testQuery`,
@@ -233,22 +244,26 @@ object AnnQueries {
        |GROUP BY exact.query_id, budgets.r ORDER BY query_id, r""".stripMargin
 
   private val budgetsList = CurveBudgets.mkString(", ")
-  private val recallCurveSparkSql = recallCurveSql(sparkWith, sparkAnnCtes,
-    (a, b) => s"$a ^ $b", sparkDot,
-    s"SELECT CAST(r AS BIGINT) AS r FROM (SELECT explode(array($budgetsList)) AS r)")
   private val recallCurveDuckSql = recallCurveSql(duckWith, duckAnnCtes,
     (a, b) => s"xor($a, $b)", duckDot,
     s"SELECT CAST(unnest([$budgetsList]) AS BIGINT) AS r")
 
-  private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
+  /** Register the input table, then build the SQL — the materialized codes
+    * view resolves against the freshly registered `embeddings`. */
+  private def q(spark: SparkSession, dir: String)(mkSql: => String): DataFrame = {
     view(spark, dir, "embeddings")
-    spark.sql(sql)
+    spark.sql(mkSql)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_hamming_knn" -> ((s, d) => q(s, d, annKnnSparkSql)),
-    "q_ann_recall" -> ((s, d) => q(s, d, annRecallSparkSql)),
-    "q_ann_recall_curve" -> ((s, d) => q(s, d, recallCurveSparkSql))
+    "q_ann_hamming_knn" -> ((s, d) =>
+      q(s, d)(annKnnSql(sparkWith(s, d), sparkAnnCtes))),
+    "q_ann_recall" -> ((s, d) =>
+      q(s, d)(annRecallSql(sparkWith(s, d), sparkAnnCtes, sparkDot))),
+    "q_ann_recall_curve" -> ((s, d) =>
+      q(s, d)(recallCurveSql(sparkWith(s, d), sparkAnnCtes,
+        (a, b) => s"$a ^ $b", sparkDot,
+        s"SELECT CAST(r AS BIGINT) AS r FROM (SELECT explode(array($budgetsList)) AS r)")))
   )
 
   val oracleSql: Map[String, String] = Map(

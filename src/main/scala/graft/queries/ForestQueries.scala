@@ -91,8 +91,38 @@ object ForestQueries {
        |qbase AS (SELECT * FROM base WHERE vec_id % $QueryStride = 0)""".stripMargin
   }
 
-  private val sparkWith = withCtes(sparkSgnCte, EmbedQueries.sparkBitDot, sparkDot)
   private val duckWith = withCtes(duckSgnCte, EmbedQueries.duckBitDot, duckDot)
+
+  /** Spark side of the forest index — all four tables' (t, vec_id, code)
+    * rows, materialized ONCE per (session, dir) via [[CodesCache]] (table 0
+    * reuses [[AnnQueries.codesRpView]], the same "rp" projection). Without
+    * this, CTE inlining rebuilt the sign codes under every reference — 40
+    * instantiations of the md5 matrix + interpreted code dots in one
+    * forest-kNN plan (see CodesCache). */
+  private def forestTcSql(rpView: String): String = {
+    val perTable = (1 until NumTables).map { t =>
+      s"""${sparkSgnCte(tag(t), EmbedQueries.CodeBits, Dim, s"sgn_$t")},
+         |codes_$t AS (SELECT vec_id, CAST(${EmbedQueries.codeExpr(EmbedQueries.sparkBitDot)} AS BIGINT) AS code FROM embeddings CROSS JOIN sgn_$t)""".stripMargin
+    }
+    val union = (1 until NumTables)
+      .map(t => s"UNION ALL SELECT $t AS t, vec_id, code FROM codes_$t")
+      .mkString("\n")
+    s"""WITH ${perTable.mkString(",\n")}
+       |SELECT 0 AS t, vec_id, code FROM $rpView
+       |$union""".stripMargin
+  }
+
+  /** Cached-view CTE header for the Spark dialect: same relation names the
+    * DuckDB dialect defines inline (`tc`, `base`, `qbase`, `codes_0`), so
+    * [[forestCtes]] stays one shared text. */
+  private def sparkWith(spark: SparkSession, dir: String): String = {
+    val rp = AnnQueries.codesRpView(spark, dir)
+    val tc = CodesCache.materialize(spark, dir, "forest_tc", forestTcSql(rp))
+    s"""tc AS (SELECT t, vec_id, code FROM $tc),
+       |codes_0 AS (SELECT vec_id, code FROM $rp),
+       |base AS (SELECT vec_id, embedding, nrm FROM $rp),
+       |qbase AS (SELECT * FROM base WHERE vec_id % $QueryStride = 0)""".stripMargin
+  }
 
   /** Level explosion, dialect-split only on the sequence generator. */
   private val sparkLvCtes =
@@ -177,19 +207,21 @@ object ForestQueries {
   private val sparkXor = (a: String, b: String) => s"$a ^ $b"
   private val duckXor = (a: String, b: String) => s"xor($a, $b)"
 
-  private val knnSparkSql = knnSql(sparkWith, sparkLvCtes, sparkDot, sparkXor)
   private val knnDuckSql = knnSql(duckWith, duckLvCtes, duckDot, duckXor)
-  private val recallSparkSql = recallSql(sparkWith, sparkLvCtes, sparkDot, sparkXor)
   private val recallDuckSql = recallSql(duckWith, duckLvCtes, duckDot, duckXor)
 
-  private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
+  /** Register the input table, then build the SQL — the materialized code
+    * views resolve against the freshly registered `embeddings`. */
+  private def q(spark: SparkSession, dir: String)(mkSql: => String): DataFrame = {
     view(spark, dir, "embeddings")
-    spark.sql(sql)
+    spark.sql(mkSql)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_forest_knn" -> ((s, d) => q(s, d, knnSparkSql)),
-    "q_ann_forest_recall" -> ((s, d) => q(s, d, recallSparkSql))
+    "q_ann_forest_knn" -> ((s, d) =>
+      q(s, d)(knnSql(sparkWith(s, d), sparkLvCtes, sparkDot, sparkXor))),
+    "q_ann_forest_recall" -> ((s, d) =>
+      q(s, d)(recallSql(sparkWith(s, d), sparkLvCtes, sparkDot, sparkXor)))
   )
 
   val oracleSql: Map[String, String] = Map(

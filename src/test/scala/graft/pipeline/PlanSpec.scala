@@ -76,6 +76,21 @@ class PlanSpec extends AnyFunSuite {
     assert(prefixJoin.nonEmpty, s"expected (t, s, pre) equi-join in forest plan:\n${plan.take(3000)}")
   }
 
+  test("forest query scans the materialized code views, never rebuilds codes from parquet") {
+    // CTE inlining used to re-instantiate the md5 sign matrices + code dot
+    // products under EVERY reference (40 FileScans of the same parquet in
+    // one forest plan); CodesCache materializes the index once and the
+    // query must read only the checkpointed views.
+    val df = graft.queries.ForestQueries.queries("q_ann_forest_knn")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val fileScans = plan.split("\n").count(_.contains("FileScan parquet"))
+    assert(fileScans == 0,
+      s"forest read path should not rescan parquet ($fileScans FileScans — codes rebuilt per reference?):\n${plan.take(3000)}")
+    assert(plan.contains("ExistingRDD"),
+      s"expected scans of the materialized (checkpointed) code views:\n${plan.take(3000)}")
+  }
+
   test("whole-stage codegen + partial aggregation cover the relational aggregate") {
     val df = graft.queries.RelQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect() // AQE finalizes the physical plan only on execution
