@@ -50,13 +50,19 @@ object CrossSql {
   val Bands = 4
   val Rows = 4
 
-  /** Adds `mh(doc_id, perm, minhash)` on top of the shingle CTE:
-    * h_p(doc) = min over shingles of h60(p || ':' || shingle). */
-  def sparkMinhashCte: String =
-    s"""$sparkShingleCte,
-       |mh AS (SELECT doc_id, CAST(p AS BIGINT) AS perm, min(${sparkH60(s"concat(CAST(p AS STRING), ':', s)")}) AS minhash
+  /** The `mh(doc_id, perm, minhash)` CTE body over a relation `sh(doc_id, s)`:
+    * h_p(doc) = min over shingles of h60(p || ':' || shingle). Exposed
+    * separately so the build/query split ([[CodesCache]]) can define `sh`
+    * as a materialized view with the identical downstream text. */
+  def sparkMhCteBody: String =
+    s"""mh AS (SELECT doc_id, CAST(p AS BIGINT) AS perm, min(${sparkH60(s"concat(CAST(p AS STRING), ':', s)")}) AS minhash
        |  FROM sh CROSS JOIN (SELECT explode(sequence(0, ${NumPerm - 1})) AS p)
        |  GROUP BY doc_id, p)""".stripMargin
+
+  /** Adds `mh(doc_id, perm, minhash)` on top of the shingle CTE. */
+  def sparkMinhashCte: String =
+    s"""$sparkShingleCte,
+       |$sparkMhCteBody""".stripMargin
 
   def duckMinhashCte: String =
     s"""$duckShingleCte,
@@ -67,11 +73,16 @@ object CrossSql {
   /** Adds `bands(doc_id, band_idx, band_key)`: band key = h60 of the band's
     * row-hashes concatenated in permutation order (reference idiom: one
     * hash table per band, SURVEY §7.0 table ↔ band). */
-  def sparkBandsCte: String =
-    s"""$sparkMinhashCte,
-       |bands AS (SELECT doc_id, perm DIV $Rows AS band_idx,
+  /** The `bands` CTE body over a relation `mh(doc_id, perm, minhash)` —
+    * see [[sparkMhCteBody]] for why the body is exposed. */
+  def sparkBandsCteBody: String =
+    s"""bands AS (SELECT doc_id, perm DIV $Rows AS band_idx,
        |    ${sparkH60(s"concat(CAST(perm DIV $Rows AS STRING), '|', concat_ws(',', sort_array(collect_list(concat(lpad(CAST(perm AS STRING), 2, '0'), ':', CAST(minhash AS STRING))))))")} AS band_key
        |  FROM mh GROUP BY doc_id, perm DIV $Rows)""".stripMargin
+
+  def sparkBandsCte: String =
+    s"""$sparkMinhashCte,
+       |$sparkBandsCteBody""".stripMargin
 
   def duckBandsCte: String =
     s"""$duckMinhashCte,

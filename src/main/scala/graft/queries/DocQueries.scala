@@ -17,10 +17,45 @@ import CrossSql._
   */
 object DocQueries {
 
-  private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
+  /** Register the input table, then build the SQL (by-name: the
+    * materialized index views below resolve against the freshly
+    * registered `documents`). */
+  private def q(spark: SparkSession, dir: String)(mkSql: => String): DataFrame = {
     view(spark, dir, "documents")
-    spark.sql(sql)
+    spark.sql(mkSql)
   }
+
+  // ------------------------------------------------------------------
+  // build/query split (see CodesCache): the shared derived relations —
+  // shingle set, minhash signatures, band keys, simhash codes — are each
+  // materialized ONCE per (session, dir) and every query scans the view.
+  // Without this, CTE inlining rebuilt the full md5 derivation chain under
+  // every reference (q_simhash_pairs re-derived simhash codes ~10x: 11
+  // documents.parquet scans in one plan). The DuckDB oracles keep the pure
+  // WITH form — DuckDB materializes multi-referenced CTEs on its own.
+  // ------------------------------------------------------------------
+
+  private def shV(s: SparkSession, d: String): String =
+    CodesCache.materialize(s, d, "doc_sh",
+      s"$sparkShingleCte\nSELECT doc_id, s FROM sh")
+
+  private def mhV(s: SparkSession, d: String): String =
+    CodesCache.materialize(s, d, "doc_mh",
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shV(s, d)}),
+         |$sparkMhCteBody
+         |SELECT doc_id, perm, minhash FROM mh""".stripMargin)
+
+  private def bandsV(s: SparkSession, d: String): String =
+    CodesCache.materialize(s, d, "doc_bands",
+      s"""WITH mh AS (SELECT doc_id, perm, minhash FROM ${mhV(s, d)}),
+         |$sparkBandsCteBody
+         |SELECT doc_id, band_idx, band_key FROM bands""".stripMargin)
+
+  private def simV(s: SparkSession, d: String): String =
+    CodesCache.materialize(s, d, "doc_simhash",
+      simhashCte(s"WITH sh AS (SELECT doc_id, s FROM ${shV(s, d)})",
+        sparkH60, (x, b) => s"shiftright($x, $b)") +
+        "\nSELECT doc_id, code FROM simhash")
 
   // ------------------------------------------------------------------
   // text analysis
@@ -132,32 +167,30 @@ object DocQueries {
   // shingles → MinHash → bands → LSH pairs → verified near-dups
   // ------------------------------------------------------------------
 
-  private val shinglesSparkSql =
-    s"""$sparkShingleCte
+  private def shinglesSparkSql(s: SparkSession, d: String) =
+    s"""WITH sh AS (SELECT doc_id, s FROM ${shV(s, d)})
        |SELECT doc_id, ${sparkH60("s")} AS shingle_h60 FROM sh ORDER BY doc_id, shingle_h60""".stripMargin
 
   private val shinglesDuckSql =
     s"""$duckShingleCte
        |SELECT doc_id, ${duckH60("s")} AS shingle_h60 FROM sh ORDER BY doc_id, shingle_h60""".stripMargin
 
-  private val minhashSparkSql =
-    s"""$sparkMinhashCte
-       |SELECT doc_id, perm, minhash FROM mh ORDER BY doc_id, perm""".stripMargin
+  private def minhashSparkSql(s: SparkSession, d: String) =
+    s"SELECT doc_id, perm, minhash FROM ${mhV(s, d)} ORDER BY doc_id, perm"
 
   private val minhashDuckSql =
     s"""$duckMinhashCte
        |SELECT doc_id, perm, minhash FROM mh ORDER BY doc_id, perm""".stripMargin
 
-  private val bandsSparkSql =
-    s"""$sparkBandsCte
-       |SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""".stripMargin
+  private def bandsSparkSql(s: SparkSession, d: String) =
+    s"SELECT doc_id, band_idx, band_key FROM ${bandsV(s, d)} ORDER BY doc_id, band_idx"
 
   private val bandsDuckSql =
     s"""$duckBandsCte
        |SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""".stripMargin
 
-  private val lshPairsSparkSql =
-    s"""$sparkBandsCte
+  private def lshPairsSparkSql(s: SparkSession, d: String) =
+    s"""WITH bands AS (SELECT doc_id, band_idx, band_key FROM ${bandsV(s, d)})
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
        |ORDER BY a, b""".stripMargin
@@ -185,7 +218,10 @@ object DocQueries {
        |WHERE 10 * i >= 3 * (na.n + nb.n - i)
        |ORDER BY a, b""".stripMargin
 
-  private val nearDupSparkSql = nearDupSql(sparkBandsCte, "DIV")
+  private def nearDupSparkSql(s: SparkSession, d: String) = nearDupSql(
+    s"""WITH sh AS (SELECT doc_id, s FROM ${shV(s, d)}),
+       |bands AS (SELECT doc_id, band_idx, band_key FROM ${bandsV(s, d)})""".stripMargin,
+    "DIV")
   private val nearDupDuckSql = nearDupSql(duckBandsCte, "//")
 
   // ------------------------------------------------------------------
@@ -212,13 +248,12 @@ object DocQueries {
        |simhash AS (SELECT doc_id, CAST($code AS BIGINT) AS code FROM cnt)""".stripMargin
   }
 
-  private def sparkSim: String =
-    simhashCte(sparkShingleCte, sparkH60, (x, b) => s"shiftright($x, $b)")
   private def duckSim: String =
     simhashCte(duckShingleCte, duckH60, (x, b) => s"($x >> $b)")
 
-  private val simhashSparkSql = s"""$sparkSim
-    |SELECT doc_id, code AS simhash FROM simhash ORDER BY doc_id""".stripMargin
+  private def simhashSparkSql(s: SparkSession, d: String) =
+    s"""WITH simhash AS (SELECT doc_id, code FROM ${simV(s, d)})
+       |SELECT doc_id, code AS simhash FROM simhash ORDER BY doc_id""".stripMargin
   private val simhashDuckSql = s"""$duckSim
     |SELECT doc_id, code AS simhash FROM simhash ORDER BY doc_id""".stripMargin
 
@@ -236,8 +271,9 @@ object DocQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  private val simPairsSparkSql =
-    simPairsSql(sparkSim, (a, b) => s"$a ^ $b", (x, b) => s"shiftright($x, $b)")
+  private def simPairsSparkSql(s: SparkSession, d: String) =
+    simPairsSql(s"WITH simhash AS (SELECT doc_id, code FROM ${simV(s, d)})",
+      (a, b) => s"$a ^ $b", (x, b) => s"shiftright($x, $b)")
   private val simPairsDuckSql =
     simPairsSql(duckSim, (a, b) => s"xor($a, $b)", (x, b) => s"($x >> $b)")
 
@@ -279,20 +315,20 @@ object DocQueries {
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_doc_stats" -> ((s, d) => q(s, d, statsSparkSql)),
-    "q_token_freq" -> ((s, d) => q(s, d, tokenFreqSparkSql)),
-    "q_lang_id" -> ((s, d) => q(s, d, langIdSql("explode(split(trim(text), '\\\\s+'))"))),
-    "q_quality" -> ((s, d) => q(s, d, qualitySparkSql)),
-    "q_exact_dedup" -> ((s, d) => q(s, d, exactDedupSparkSql)),
-    "q_doc_fingerprint" -> ((s, d) => q(s, d, fingerprintSparkSql)),
-    "q_shingles" -> ((s, d) => q(s, d, shinglesSparkSql)),
-    "q_minhash_sig" -> ((s, d) => q(s, d, minhashSparkSql)),
-    "q_minhash_bands" -> ((s, d) => q(s, d, bandsSparkSql)),
-    "q_lsh_pairs" -> ((s, d) => q(s, d, lshPairsSparkSql)),
-    "q_near_dup_pairs" -> ((s, d) => q(s, d, nearDupSparkSql)),
-    "q_simhash" -> ((s, d) => q(s, d, simhashSparkSql)),
-    "q_simhash_pairs" -> ((s, d) => q(s, d, simPairsSparkSql)),
-    "q_substring_pairs" -> ((s, d) => q(s, d, substringSparkSql))
+    "q_doc_stats" -> ((s, d) => q(s, d)(statsSparkSql)),
+    "q_token_freq" -> ((s, d) => q(s, d)(tokenFreqSparkSql)),
+    "q_lang_id" -> ((s, d) => q(s, d)(langIdSql("explode(split(trim(text), '\\\\s+'))"))),
+    "q_quality" -> ((s, d) => q(s, d)(qualitySparkSql)),
+    "q_exact_dedup" -> ((s, d) => q(s, d)(exactDedupSparkSql)),
+    "q_doc_fingerprint" -> ((s, d) => q(s, d)(fingerprintSparkSql)),
+    "q_shingles" -> ((s, d) => q(s, d)(shinglesSparkSql(s, d))),
+    "q_minhash_sig" -> ((s, d) => q(s, d)(minhashSparkSql(s, d))),
+    "q_minhash_bands" -> ((s, d) => q(s, d)(bandsSparkSql(s, d))),
+    "q_lsh_pairs" -> ((s, d) => q(s, d)(lshPairsSparkSql(s, d))),
+    "q_near_dup_pairs" -> ((s, d) => q(s, d)(nearDupSparkSql(s, d))),
+    "q_simhash" -> ((s, d) => q(s, d)(simhashSparkSql(s, d))),
+    "q_simhash_pairs" -> ((s, d) => q(s, d)(simPairsSparkSql(s, d))),
+    "q_substring_pairs" -> ((s, d) => q(s, d)(substringSparkSql))
   )
 
   val oracleSql: Map[String, String] = Map(
