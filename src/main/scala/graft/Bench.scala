@@ -26,7 +26,13 @@ import org.apache.spark.sql.SparkSession
   * ambient load < 3 before every timed leg (GRAFT_BENCH_LOADWAIT seconds
   * max, 0 disables) — legs measured into an external load burst are pure
   * noise, and the raw interleaved legs are published in the JSON for
-  * spread transparency.
+  * spread transparency. Because co-tenant storms are invisible to loadavg
+  * and can start mid-leg, the parent additionally cross-checks the two
+  * levels' best-leg process CPU (identical work ⇒ CPU parity up to the
+  * ~1.07 quiet fabric inflation) and runs up to GRAFT_BENCH_EXTRA_PAIRS
+  * extra interleaved pairs when they disagree > 1.25× — recording the
+  * host's weather as the job's scaling is the one failure mode best-of
+  * alone cannot always absorb.
   */
 object Bench {
 
@@ -218,7 +224,7 @@ object Bench {
     // child's heap is heapPerCoreGb * cores (and the JVM sizes GC from the
     // affinity mask, so GC parallelism scales with the leg too).
     val heapPerCoreGb = sys.env.getOrElse("GRAFT_BENCH_HEAP_PER_CORE_GB", "3").toInt
-    def pinnedLeg(cores: Int): Option[Double] = {
+    def pinnedLeg(cores: Int): Option[(Double, Double)] = {
       import scala.jdk.CollectionConverters._
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
@@ -237,9 +243,10 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val rc = p.waitFor()
         val parsed = "GRAFT_LEG_SECONDS=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+        val cpu = "GRAFT_LEG_CPUSEC=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
         if (rc != 0 || parsed.isEmpty)
           System.err.println(s"[bench] pinned leg cores=$cores rc=$rc parsed=$parsed — falling back in-process")
-        if (rc == 0) parsed else None
+        if (rc == 0) parsed.map(t => (t, cpu.getOrElse(Double.NaN))) else None
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pinned leg spawn failed ($e) — falling back in-process")
         None
@@ -254,22 +261,49 @@ object Bench {
       warm.stop()
     }
     var pinnedUsed = true
-    def once(cores: Int): (Double, Double) = {
+    def once(cores: Int): (Double, Double, Double) = {
       val probe = waitQuiet(loadWait)
-      val t = pinnedLeg(cores).getOrElse {
+      val (t, cpu) = pinnedLeg(cores).getOrElse {
         pinnedUsed = false
         inProcessWarmed
         val s = BenchLeg.session(cores, shufflePartitions)
         val t0 = BenchLeg.pipelineSecs(s, inputDir)
         s.stop()
-        t0
+        (t0, Double.NaN)
       }
-      (t, probe)
+      (t, probe, cpu)
     }
     val order = Seq.fill(reps)(Seq(baseN, 4 * baseN)).flatten
-    val times = order.map { c => val (t, p) = once(c); (c, t, p) }
-    val tN = times.collect { case (c, t, _) if c == baseN => t }.min
-    val t4N = times.collect { case (c, t, _) if c == 4 * baseN => t }.min
+    val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
+    order.foreach { c => val (t, p, u) = once(c); times += ((c, t, p, u)) }
+
+    // Cross-level storm check: the two levels run IDENTICAL work, so their
+    // best legs' process CPU must agree up to the measured quiet memory-
+    // fabric inflation (8c/2c ≈ 1.07) — co-tenant pressure only ever
+    // INFLATES a leg's CPU. If the best legs disagree beyond 1.25×, the
+    // higher-CPU level's reps all landed in storms (observed: 2 of 3 8-core
+    // legs at cpu 1056/871 core-s vs a quiet 663 in one run); run bounded
+    // extra interleaved pairs rather than recording the host's weather as
+    // the job's scaling. Every leg, extra or not, is published in raw_runs.
+    val maxExtraPairs = sys.env.getOrElse("GRAFT_BENCH_EXTRA_PAIRS", "2").toInt
+    def bestCpu(c: Int): Double = {
+      val v = times.filter(r => r._1 == c && !r._4.isNaN).map(_._4)
+      if (v.isEmpty) Double.NaN else v.min
+    }
+    def cpuAgree: Boolean = {
+      val r = bestCpu(4 * baseN) / bestCpu(baseN)
+      r.isNaN || (r < 1.25 && r > 0.8)
+    }
+    var extraPairs = 0
+    while (pinnedUsed && !cpuAgree && extraPairs < maxExtraPairs) {
+      System.err.println(f"[bench] best-leg CPU disagrees across levels " +
+        f"(${bestCpu(baseN)}%.0f vs ${bestCpu(4 * baseN)}%.0f core-s) — extra interleaved pair")
+      Seq(baseN, 4 * baseN).foreach { c => val (t, p, u) = once(c); times += ((c, t, p, u)) }
+      extraPairs += 1
+    }
+
+    val tN = times.collect { case (c, t, _, _) if c == baseN => t }.min
+    val t4N = times.collect { case (c, t, _, _) if c == 4 * baseN => t }.min
     graft.tools.StageBench.deleteRec(
       new java.io.File(inputDir).getParentFile) // ~25 KB/clip of temp input
     legLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
@@ -278,9 +312,11 @@ object Bench {
     val cps4N = nClips / t4N
     val eff = (tN / t4N) / 4.0
     // raw interleaved run times + the pre-leg memory-fabric probe reading
-    // (noise-spread transparency: a stormy leg shows an elevated probe)
-    val raw = times.map { case (c, t, p) =>
-      f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f}""" }
+    // and the leg's own process CPU (noise-spread transparency: a stormy
+    // leg shows inflated CPU for identical work)
+    val raw = times.map { case (c, t, p, u) =>
+      val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
+      f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField}""" }
       .mkString("[", ",", "]")
 
     val qs = (qTimes ++ Seq(
@@ -289,7 +325,7 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + tN + t4N
     val dedup =
-      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedUsed,"scratch":"${if (legLocalRoot.isDefined) "tmpfs" else "disk"}","heap_per_core_gb":$heapPerCoreGb,"raw_runs":$raw}"""
+      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedUsed,"scratch":"${if (legLocalRoot.isDefined) "tmpfs" else "disk"}","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"raw_runs":$raw}"""
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

@@ -143,9 +143,14 @@ object BenchLeg {
     // parent parses just the stdout GRAFT_LEG_SECONDS line)
     val tc = threadClassCpu().map { case (k, v) => k -> (v - tc0.getOrElse(k, 0.0)) }
     val tcStr = tc.toSeq.sortBy(-_._2).map { case (k, v) => f"$k=$v%.0f" }.mkString(" ")
+    val cpuSec = (cpuNanos - cpu0) / 1e9
     System.err.println(
-      f"[leg] cores=$cores wall=$t%.1fs cpu=${(cpuNanos - cpu0) / 1e9}%.1fs gc=${(gcMillis - gc0) / 1e3}%.1fs [$tcStr]")
+      f"[leg] cores=$cores wall=$t%.1fs cpu=$cpuSec%.1fs gc=${(gcMillis - gc0) / 1e3}%.1fs [$tcStr]")
     spark.stop()
+    // stdout contract with the parent: wall + timed-segment process CPU
+    // (the CPU line feeds the cross-level storm check — identical work
+    // costs ~equal CPU at both levels; co-tenant pressure only inflates it)
     println(f"GRAFT_LEG_SECONDS=$t%.3f")
+    println(f"GRAFT_LEG_CPUSEC=$cpuSec%.3f")
   }
 }

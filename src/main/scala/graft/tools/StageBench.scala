@@ -43,8 +43,12 @@ object StageBench {
     }
 
     // 0. materialize input to parquet (the real pipeline reads a table, it
-    // doesn't re-synthesize per scan)
-    val dir = java.nio.file.Files.createTempDirectory("graft-stagebench").toString
+    // doesn't re-synthesize per scan). PID-stamped + stale-swept like the
+    // bench scratch: a killed run leaves ~10 GB that otherwise fills /tmp.
+    Scratch.sweepDefaultRoots()
+    val dirFile = java.nio.file.Files.createTempDirectory("graft-stagebench").toFile
+    Scratch.claim(dirFile)
+    val dir = dirFile.toString
     time("synth+write") {
       ClipTableGen.table(spark, n).write.mode("overwrite").parquet(s"$dir/clips")
     }
