@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — prints ONE JSON line (also written to
   * `GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json`, so the driver never has
-  * to scrape it out of log spew).
+  * to scrape it out of log spew; the file is additionally checkpointed
+  * after every completed leg pair with `"partial":true`, so an external
+  * timeout mid-run still leaves the best-so-far measurement on disk).
   *
   * Two phases:
   *  1. headline driver queries at `local[SPARK_GRAFT_CPUS]` on
@@ -273,9 +275,68 @@ object Bench {
       }
       (t, probe, cpu)
     }
-    val order = Seq.fill(reps)(Seq(baseN, 4 * baseN)).flatten
     val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
-    order.foreach { c => val (t, p, u) = once(c); times += ((c, t, p, u)) }
+    def bestCpu(c: Int): Double = {
+      val v = times.filter(r => r._1 == c && !r._4.isNaN).map(_._4)
+      if (v.isEmpty) Double.NaN else v.min
+    }
+
+    // ---- JSON assembly + checkpointed delivery --------------------------
+    // The file is (re)written after EVERY completed leg pair, flagged
+    // "partial":true until the protocol finishes: a run killed by an
+    // external timeout mid-legs still leaves the best-so-far measurement
+    // on disk instead of no artifact at all.
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def emitJson(extraPairs: Int, partial: Boolean): String = {
+      val tN = times.collect { case (c, t, _, _) if c == baseN => t }.min
+      val t4N = times.collect { case (c, t, _, _) if c == 4 * baseN => t }.min
+      val cpsN = nClips / tN
+      val cps4N = nClips / t4N
+      val eff = (tN / t4N) / 4.0
+      // published weather indicator: identical work ⇒ best-leg CPU parity
+      // ≈ the quiet fabric inflation (~1.07). A recorded quotient with
+      // parity ≫ 1.25 means every big-leg rep landed in a co-tenant storm
+      // (CPU only inflates) — the quotient then measures the host's
+      // weather, not the job; readers see that without the stderr log.
+      val cpuParity = bestCpu(4 * baseN) / bestCpu(baseN)
+      // raw interleaved run times + the pre-leg memory-fabric probe reading
+      // and the leg's own process CPU (noise-spread transparency: a stormy
+      // leg shows inflated CPU for identical work)
+      val raw = times.map { case (c, t, p, u) =>
+        val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
+        f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField}""" }
+        .mkString("[", ",", "]")
+      val qs = (qTimes ++ Seq(
+        s"dedup_pipeline_local$baseN" -> tN,
+        s"dedup_pipeline_local${4 * baseN}" -> t4N))
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val total = qTimes.map(_._2).sum + tN + t4N
+      val partialField = if (partial) ""","partial":true""" else ""
+      val dedup =
+        f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedUsed,"scratch":"${if (legLocalRoot.isDefined) "tmpfs" else "disk"}","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"cpu_parity":${if (cpuParity.isNaN) "null" else f"$cpuParity%.3f"}$partialField,"raw_runs":$raw}"""
+      val errs =
+        if (qErrors.isEmpty) ""
+        else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString(""","errors":{""", ",", "}")
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup$errs}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+      json
+    }
+    def runPair(extraSoFar: Int): Unit = {
+      Seq(baseN, 4 * baseN).foreach { c => val (t, p, u) = once(c); times += ((c, t, p, u)) }
+      emitJson(extraSoFar, partial = true)
+    }
+
+    (1 to reps).foreach(_ => runPair(0))
 
     // Cross-level storm check: the two levels run IDENTICAL work, so their
     // best legs' process CPU must agree up to the measured quiet memory-
@@ -286,10 +347,6 @@ object Bench {
     // extra interleaved pairs rather than recording the host's weather as
     // the job's scaling. Every leg, extra or not, is published in raw_runs.
     val maxExtraPairs = sys.env.getOrElse("GRAFT_BENCH_EXTRA_PAIRS", "2").toInt
-    def bestCpu(c: Int): Double = {
-      val v = times.filter(r => r._1 == c && !r._4.isNaN).map(_._4)
-      if (v.isEmpty) Double.NaN else v.min
-    }
     def cpuAgree: Boolean = {
       val r = bestCpu(4 * baseN) / bestCpu(baseN)
       r.isNaN || (r < 1.25 && r > 0.8)
@@ -298,51 +355,16 @@ object Bench {
     while (pinnedUsed && !cpuAgree && extraPairs < maxExtraPairs) {
       System.err.println(f"[bench] best-leg CPU disagrees across levels " +
         f"(${bestCpu(baseN)}%.0f vs ${bestCpu(4 * baseN)}%.0f core-s) — extra interleaved pair")
-      Seq(baseN, 4 * baseN).foreach { c => val (t, p, u) = once(c); times += ((c, t, p, u)) }
       extraPairs += 1
+      runPair(extraPairs)
     }
 
-    val tN = times.collect { case (c, t, _, _) if c == baseN => t }.min
-    val t4N = times.collect { case (c, t, _, _) if c == 4 * baseN => t }.min
     graft.tools.StageBench.deleteRec(
       new java.io.File(inputDir).getParentFile) // ~25 KB/clip of temp input
     legLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
 
-    val cpsN = nClips / tN
-    val cps4N = nClips / t4N
-    val eff = (tN / t4N) / 4.0
-    // raw interleaved run times + the pre-leg memory-fabric probe reading
-    // and the leg's own process CPU (noise-spread transparency: a stormy
-    // leg shows inflated CPU for identical work)
-    val raw = times.map { case (c, t, p, u) =>
-      val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
-      f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField}""" }
-      .mkString("[", ",", "]")
-
-    val qs = (qTimes ++ Seq(
-      s"dedup_pipeline_local$baseN" -> tN,
-      s"dedup_pipeline_local${4 * baseN}" -> t4N))
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = qTimes.map(_._2).sum + tN + t4N
-    val dedup =
-      f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedUsed,"scratch":"${if (legLocalRoot.isDefined) "tmpfs" else "disk"}","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"raw_runs":$raw}"""
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val errs =
-      if (qErrors.isEmpty) ""
-      else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString(""","errors":{""", ",", "}")
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup$errs}"""
-    // file first (machine-parseable delivery), then the final stdout line
-    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    // final (non-partial) write, then the one machine-parseable stdout line
+    val json = emitJson(extraPairs, partial = false)
     println(json)
     System.out.flush()
   }
