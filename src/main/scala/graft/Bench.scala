@@ -4,13 +4,29 @@ import graft.synth.ClipTableGen
 import graft.tools.BenchLeg
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — prints ONE JSON line (also written to
-  * `GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json`, so the driver never has
-  * to scrape it out of log spew; the file is additionally checkpointed
-  * after every completed leg pair with `"partial":true`, so an external
-  * timeout mid-run still leaves the best-so-far measurement on disk).
+/** Benchmark main.
   *
-  * Two phases:
+  * DELIVERY CONTRACT (the part three rounds of timeouts taught us): the
+  * driver harvests the LAST machine-parseable stdout line, and it may kill
+  * this process at ANY moment with an external `timeout` (SIGTERM). So the
+  * bench (a) prints the current best-so-far JSON line to stdout after EVERY
+  * milestone — each headline query, each completed scaling leg — flagged
+  * `"partial":true` until the protocol finishes; (b) registers a shutdown
+  * hook that re-prints the latest line on SIGTERM; (c) SELF-BUDGETS via
+  * `GRAFT_BENCH_BUDGET_SEC` (default 1800 s measured from JVM start),
+  * sizing the scaling input and the rep count to what fits so the default
+  * run exits 0 before an external kill ever fires; and (d) mirrors every
+  * print into `GRAFT_BENCH_OUT` (default `BENCH_LOCAL.json`). A kill at
+  * any point therefore leaves the most recent measurement as the last
+  * parseable stdout line instead of no artifact at all.
+  *
+  * Each emitted JSON also carries `committed_full_run`: the contents of the
+  * in-repo `BENCH_FULL.json` — the best COMMITTED full-protocol scaling run
+  * (800k clips, 3+ interleaved pinned pairs; see BASELINE.md §3) — clearly
+  * labeled with its source file so readers can distinguish "what this
+  * budgeted run measured live" from "what the full protocol recorded".
+  *
+  * Two phases (most valuable first within the budget):
   *  1. headline driver queries at `local[SPARK_GRAFT_CPUS]` on
   *     `SPARK_GRAFT_SF_DIR` (per-query seconds in "queries"; a failing
   *     query records an entry in "errors" instead of being swallowed);
@@ -22,19 +38,20 @@ import org.apache.spark.sql.SparkSession
   *     clips/sec at both plus efficiency = (T_N / T_4N) / 4; target ≥ 0.8
   *     (BASELINE.md §2).
   *
-  * Measurement hygiene on this SHARED host (BASELINE.md §3): one full-size
-  * untimed warmup first (JIT/codegen), then GRAFT_BENCH_REPS interleaved
-  * (N, 4N) leg pairs with best-of per level, and a bounded wait for
-  * ambient load < 3 before every timed leg (GRAFT_BENCH_LOADWAIT seconds
-  * max, 0 disables) — legs measured into an external load burst are pure
-  * noise, and the raw interleaved legs are published in the JSON for
-  * spread transparency. Because co-tenant storms are invisible to loadavg
-  * and can start mid-leg, the parent additionally cross-checks the two
-  * levels' best-leg process CPU (identical work ⇒ CPU parity up to the
-  * ~1.07 quiet fabric inflation) and runs up to GRAFT_BENCH_EXTRA_PAIRS
-  * extra interleaved pairs when they disagree > 1.25× — recording the
-  * host's weather as the job's scaling is the one failure mode best-of
-  * alone cannot always absorb.
+  * Measurement hygiene on this SHARED host (BASELINE.md §3):
+  * GRAFT_BENCH_REPS interleaved (N, 4N) leg pairs with best-of per level,
+  * and a bounded wait for ambient load < 3 + a quiet memory-fabric probe
+  * before every timed leg (GRAFT_BENCH_LOADWAIT seconds max, 0 disables) —
+  * legs measured into an external load burst are pure noise, and the raw
+  * interleaved legs are published in the JSON for spread transparency.
+  * Because co-tenant storms are invisible to loadavg and can start
+  * mid-leg, the parent additionally cross-checks the two levels' best-leg
+  * process CPU (identical work ⇒ CPU parity up to the ~1.1 quiet fabric
+  * inflation) and runs up to GRAFT_BENCH_EXTRA_PAIRS extra interleaved
+  * pairs when they disagree > 1.25× — recording the host's weather as the
+  * job's scaling is the one failure mode best-of alone cannot always
+  * absorb. Every budget decision (resized n, skipped reps) is recorded in
+  * the JSON's "meta" object, so a partial artifact is self-describing.
   */
 object Bench {
 
@@ -138,7 +155,31 @@ object Bench {
     p
   }
 
+  /** The committed full-protocol run, embedded verbatim in every emitted
+    * JSON under "committed_full_run" (one-line JSON object, written by this
+    * same main with GRAFT_BENCH_CLIPS=800000 and a wide budget, then
+    * committed to the repo as BENCH_FULL.json). Labeled by source so it can
+    * never be mistaken for the live budgeted measurement. */
+  private def committedFullRun(): Option[String] = {
+    val path = sys.env.getOrElse("GRAFT_BENCH_FULL_JSON", "BENCH_FULL.json")
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isRegularFile(p)) None
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        // embed only if it is plausibly a single JSON object
+        if (s.startsWith("{") && s.endsWith("}") && !s.contains('\n') && s.length < 16384)
+          Some(s)
+        else None
+      }
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    val startedUtc = java.time.Instant.now().toString
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N=2 → 4N=8: this box has 32 real cores but is a shared host; the
@@ -147,41 +188,181 @@ object Bench {
     // n is sized so per-row work dominates the fixed job-latency floor
     // (efficiency is meaningless on a latency-bound run at any N; the
     // floor is per-JOB, not per-row). Measured quiet-window anatomy of the
-    // pinned quotient at 800k on tmpfs scratch: T2=419 s (cpu 818 core-s,
-    // 97.6% busy) vs T8=134 s (cpu 978 core-s, 91.4% busy) — the loss is
-    // ~1.2x task-thread CPU inflation at 8 threads (shared memory fabric;
+    // pinned quotient at 800k on tmpfs scratch: T2=320.3 s (cpu 618 core-s,
+    // 96% busy) vs T8=89.3 s (cpu 663 core-s, 93% busy) — the loss is
+    // ~1.1x task-thread CPU inflation at 8 threads (shared memory fabric;
     // a real cluster's bandwidth scales with node count) plus stage-barrier
     // wave tails, NOT GC/JIT/disk (those are pinned-leg-accounted and
     // small). See BASELINE.md §3.
     val baseN = sys.env.getOrElse("GRAFT_BENCH_BASE_CORES", "2").toInt
-    val nClips = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "800000").toInt
-    // reps=3 (was 2): the shared host's load bursts put a 1.7x spread on
-    // identical 2-core legs in the round-2 driver run; a third interleaved
-    // rep makes best-of robust to one burst landing on each level once
+    // default 500k (was 800k): sized so the DEFAULT protocol — headlines +
+    // 3 interleaved pinned pairs — fits the self-budget below with margin,
+    // while per-row work still dominates the per-job floor (measured: the
+    // per-clip CPU is flat from 400k to 800k, so the quotient at 500k
+    // measures the same property as at 800k; the committed BENCH_FULL.json
+    // carries the 800k full-protocol record).
+    val nReq = sys.env.getOrElse("GRAFT_BENCH_CLIPS", "500000").toInt
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
-    val loadWait = sys.env.getOrElse("GRAFT_BENCH_LOADWAIT", "150").toInt
+    val loadWait = sys.env.getOrElse("GRAFT_BENCH_LOADWAIT", "120").toInt
+    // Self-budget (seconds from JVM start). The driver's external timeout
+    // is not knowable from here (round 2's full run recorded rc=0 at a
+    // 2147 s sbt total; round 3's ~40 min protocol recorded rc=124 and NO
+    // artifact) — so the default finishes well inside the tightest window
+    // the history is consistent with (1800 s + sbt launch < the ≥ 2200 s
+    // round 2 proved exists), and every phase below checks the remaining
+    // budget before starting work it could not finish.
+    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+    def remaining: Double = budgetSec - elapsed
+
+    // conservative per-clip planning constants (quiet r3 measurements +25%
+    // margin; used only to SIZE work to the budget, never reported):
+    val secPerClip2c = 4.6e-4  // measured 4.0e-4 at 800k, pinned, tmpfs
+    val secPerClip8c = 1.4e-4  // measured 1.1e-4
+    val secPerClipSynth = 2.5e-4 // 32-core synth+write to tmpfs
+    val pairOverheadSec = 110.0  // 2 child-JVM starts + warmups + probes
+
+    // ---- milestone delivery ---------------------------------------------
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val fullRun = committedFullRun()
+    @volatile var latestJson = ""
+    @volatile var deliveredFinal = false
+    // SIGTERM (external timeout) runs shutdown hooks: re-print the latest
+    // partial line so it is the last parseable stdout line even when the
+    // kill lands mid-phase. Pre-serialized — the hook does no work.
+    sys.addShutdownHook {
+      if (!deliveredFinal && latestJson.nonEmpty) {
+        println(latestJson)
+        System.out.flush()
+      }
+    }
+
+    val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val qTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // (cores, wallSec, probeSec, cpuSec, pinned) per completed scaling leg
+    val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double, Boolean)]
+    var nClips = nReq
+    var scalingSkipped: Option[String] = None
+    var extraPairs = 0
+    var heapPerCoreGb = 3
+    var scratchKind = "disk"
+    var phase = "startup"
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def bestCpu(c: Int): Double = {
+      val v = times.filter(r => r._1 == c && !r._4.isNaN).map(_._4)
+      if (v.isEmpty) Double.NaN else v.min
+    }
+
+    /** Build the current JSON, mirror it to the out file, print it to
+      * stdout, remember it for the SIGTERM hook. Called at every milestone:
+      * a kill at any point leaves the latest state as the last parseable
+      * stdout line. */
+    def emit(partial: Boolean): String = {
+      val haveN = times.exists(_._1 == baseN)
+      val have4N = times.exists(_._1 == 4 * baseN)
+      val legSecs = if (haveN && have4N) {
+        val tN = times.collect { case (c, t, _, _, _) if c == baseN => t }.min
+        val t4N = times.collect { case (c, t, _, _, _) if c == 4 * baseN => t }.min
+        Some((tN, t4N))
+      } else None
+      val qs = (qTimes ++ legSecs.toSeq.flatMap { case (tN, t4N) => Seq(
+        s"dedup_pipeline_local$baseN" -> tN,
+        s"dedup_pipeline_local${4 * baseN}" -> t4N) })
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val total = qTimes.map(_._2).sum + legSecs.map(p => p._1 + p._2).getOrElse(0.0)
+      val partialField = if (partial) ""","partial":true""" else ""
+      val dedup = legSecs.map { case (tN, t4N) =>
+        val cpsN = nClips / tN
+        val cps4N = nClips / t4N
+        val eff = (tN / t4N) / 4.0
+        // published weather indicator: identical work ⇒ best-leg CPU parity
+        // ≈ the quiet fabric inflation (~1.1). A recorded quotient with
+        // parity ≫ 1.25 means every big-leg rep landed in a co-tenant storm
+        // (CPU only inflates) — the quotient then measures the host's
+        // weather, not the job; readers see that without the stderr log.
+        val cpuParity = bestCpu(4 * baseN) / bestCpu(baseN)
+        // raw interleaved run times + the pre-leg memory-fabric probe
+        // reading, the leg's own process CPU (noise-spread transparency: a
+        // stormy leg shows inflated CPU for identical work), and whether
+        // THIS leg ran pinned (a mid-run spawn failure degrades later legs
+        // to the floating in-process protocol; mixing is machine-visible)
+        val raw = times.map { case (c, t, p, u, pin) =>
+          val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
+          f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField,"pinned":$pin}""" }
+          .mkString("[", ",", "]")
+        val pinnedAll = times.forall(_._5)
+        f""","dedup_scaling":{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedAll,"scratch":"$scratchKind","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"cpu_parity":${if (cpuParity.isNaN) "null" else f"$cpuParity%.3f"}$partialField,"raw_runs":$raw}"""
+      }.getOrElse(scalingSkipped.map(r => s""","dedup_scaling":{"skipped":${jstr(r)}}""").getOrElse(""))
+      val errs =
+        if (qErrors.isEmpty) ""
+        else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString(""","errors":{""", ",", "}")
+      val committed = fullRun.map(s =>
+        s""","committed_full_run_source":${jstr(sys.env.getOrElse("GRAFT_BENCH_FULL_JSON", "BENCH_FULL.json"))},"committed_full_run":$s""").getOrElse("")
+      // self-describing run metadata: a partial artifact says what it was
+      // attempting, how long it had run, and which phase the kill landed in
+      val meta =
+        f""""meta":{"started_utc":${jstr(startedUtc)},"wall_total_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"phase":${jstr(phase)},"clips_requested":$nReq,"clips_used":$nClips,"reps_requested":$reps,"pairs_done":${times.size / 2},"protocol":"r4-budgeted"}"""
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"$dedup$errs$committed}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+      latestJson = json
+      if (!partial) deliveredFinal = true
+      println(json)
+      System.out.flush()
+      json
+    }
 
     // ---- phase 1: headline queries --------------------------------------
+    phase = "headline"
+    emit(partial = true) // v0: metadata + committed run, parseable immediately
     val spark1 = session(cpus)
     // untimed session warmup so the first timed query doesn't absorb
     // executor init + codegen compilation
     try SparkEntry.queries("q1_agg")(spark1, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // a failed query records ONLY an errors entry — its time-to-failure is
-    // meaningless and must not masquerade as a fast success in "queries"
-    val qTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).flatMap { fn =>
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
         try {
           fn(spark1, sfDir).count()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          qTimes += (name -> (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
+          // a failed query records ONLY an errors entry — its time-to-failure
+          // is meaningless and must not masquerade as a fast success
           qErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
         }
+        emit(partial = true)
       }
     }
+
+    // ---- phase 2: same job, same input, two parallelism levels ----------
+    // Size the scaling phase to the remaining budget: prefer the requested
+    // n, shrink if the budget cannot fit synth + one pair at it (the
+    // per-clip planning constants above are deliberately conservative).
+    phase = "scaling-synth"
+    def scalingCost(n: Int): Double =
+      n * secPerClipSynth + n * (secPerClip2c + secPerClip8c) + pairOverheadSec
+    val minClips = 150000 // below this the per-job floor dominates the quotient
+    if (remaining < scalingCost(minClips) + 60) {
+      scalingSkipped = Some(f"budget: ${remaining}%.0f s left < ${scalingCost(minClips) + 60}%.0f s for the smallest honest pair; see committed_full_run")
+      System.err.println(s"[bench] ${scalingSkipped.get}")
+      spark1.stop()
+      emit(partial = false)
+      return
+    }
+    while (nClips > minClips && remaining < scalingCost(nClips) + 60)
+      nClips = math.max(minClips, (nClips * 0.75).toInt)
+    if (nClips != nReq)
+      System.err.println(f"[bench] budget ${remaining}%.0f s: resized scaling input $nReq → $nClips clips")
+
     // materialize the input table once (untimed), RAM-backed when possible.
     // First sweep scratch leaked by any KILLED earlier bench — tmpfs pages
     // are host RAM, and two stale 20 GiB inputs are enough to OOM this run.
@@ -193,6 +374,7 @@ object Bench {
       graft.tools.Scratch.claim(d.toFile)
       d.toString
     }
+    scratchKind = if (legLocalRoot.isDefined) "tmpfs" else "disk"
     spark1.stop()
     // normal exit deletes scratch below; the hook covers SIGTERM/exceptions
     // (SIGKILL/OOM is covered by the next run's sweep via the PID stamp)
@@ -201,7 +383,6 @@ object Bench {
       legLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
     }
 
-    // ---- phase 2: same job, same input, two parallelism levels ----------
     // Each leg runs as a CHILD JVM pinned with `taskset -c 0..N-1` to
     // exactly N physical cores. A floating `local[N]` JVM is NOT an N-core
     // cluster: shuffle/IO/GC threads borrow idle host cores beside the N
@@ -225,7 +406,7 @@ object Bench {
     // the small "cluster" 4x the per-core memory of the big one — so each
     // child's heap is heapPerCoreGb * cores (and the JVM sizes GC from the
     // affinity mask, so GC parallelism scales with the leg too).
-    val heapPerCoreGb = sys.env.getOrElse("GRAFT_BENCH_HEAP_PER_CORE_GB", "3").toInt
+    heapPerCoreGb = sys.env.getOrElse("GRAFT_BENCH_HEAP_PER_CORE_GB", "3").toInt
     def pinnedLeg(cores: Int): Option[(Double, Double)] = {
       import scala.jdk.CollectionConverters._
       val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -262,110 +443,70 @@ object Bench {
       BenchLeg.pipelineSecs(warm, inputDir)
       warm.stop()
     }
-    var pinnedUsed = true
-    def once(cores: Int): (Double, Double, Double) = {
+    def once(cores: Int): Unit = {
       val probe = waitQuiet(loadWait)
-      val (t, cpu) = pinnedLeg(cores).getOrElse {
-        pinnedUsed = false
+      val (t, cpu, pinned) = pinnedLeg(cores).map { case (t, u) => (t, u, true) }.getOrElse {
         inProcessWarmed
         val s = BenchLeg.session(cores, shufflePartitions)
         val t0 = BenchLeg.pipelineSecs(s, inputDir)
         s.stop()
-        (t0, Double.NaN)
+        (t0, Double.NaN, false)
       }
-      (t, probe, cpu)
+      times += ((cores, t, probe, cpu, pinned))
+      emit(partial = true) // milestone: every completed leg updates the artifact
     }
-    val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
-    def bestCpu(c: Int): Double = {
-      val v = times.filter(r => r._1 == c && !r._4.isNaN).map(_._4)
-      if (v.isEmpty) Double.NaN else v.min
+    def runPair(): Unit = Seq(baseN, 4 * baseN).foreach(once)
+
+    // measured cost of one pair, for budget gating of later pairs (seeded
+    // from the planning constants until the first pair lands)
+    def measuredPairCost: Double = {
+      val byLevel = Seq(baseN, 4 * baseN).map { c =>
+        val v = times.filter(_._1 == c).map(_._2)
+        if (v.isEmpty) nClips * (if (c == baseN) secPerClip2c else secPerClip8c)
+        else v.max
+      }
+      byLevel.sum + pairOverheadSec
     }
 
-    // ---- JSON assembly + checkpointed delivery --------------------------
-    // The file is (re)written after EVERY completed leg pair, flagged
-    // "partial":true until the protocol finishes: a run killed by an
-    // external timeout mid-legs still leaves the best-so-far measurement
-    // on disk instead of no artifact at all.
-    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    def emitJson(extraPairs: Int, partial: Boolean): String = {
-      val tN = times.collect { case (c, t, _, _) if c == baseN => t }.min
-      val t4N = times.collect { case (c, t, _, _) if c == 4 * baseN => t }.min
-      val cpsN = nClips / tN
-      val cps4N = nClips / t4N
-      val eff = (tN / t4N) / 4.0
-      // published weather indicator: identical work ⇒ best-leg CPU parity
-      // ≈ the quiet fabric inflation (~1.07). A recorded quotient with
-      // parity ≫ 1.25 means every big-leg rep landed in a co-tenant storm
-      // (CPU only inflates) — the quotient then measures the host's
-      // weather, not the job; readers see that without the stderr log.
-      val cpuParity = bestCpu(4 * baseN) / bestCpu(baseN)
-      // raw interleaved run times + the pre-leg memory-fabric probe reading
-      // and the leg's own process CPU (noise-spread transparency: a stormy
-      // leg shows inflated CPU for identical work)
-      val raw = times.map { case (c, t, p, u) =>
-        val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
-        f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField}""" }
-        .mkString("[", ",", "]")
-      val qs = (qTimes ++ Seq(
-        s"dedup_pipeline_local$baseN" -> tN,
-        s"dedup_pipeline_local${4 * baseN}" -> t4N))
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      val total = qTimes.map(_._2).sum + tN + t4N
-      val partialField = if (partial) ""","partial":true""" else ""
-      val dedup =
-        f"""{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedUsed,"scratch":"${if (legLocalRoot.isDefined) "tmpfs" else "disk"}","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"cpu_parity":${if (cpuParity.isNaN) "null" else f"$cpuParity%.3f"}$partialField,"raw_runs":$raw}"""
-      val errs =
-        if (qErrors.isEmpty) ""
-        else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-          .mkString(""","errors":{""", ",", "}")
-      val json =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_scaling":$dedup$errs}"""
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-      json
+    phase = "scaling-pairs"
+    // a pair's true cost includes up to 2 bounded quiet-window waits
+    def pairGate: Double = measuredPairCost * 1.1 + 2.0 * loadWait + 30
+    var pairsDone = 0
+    while (pairsDone < reps && (pairsDone == 0 || remaining > pairGate)) {
+      runPair()
+      pairsDone += 1
+      if (pairsDone < reps && remaining <= pairGate)
+        System.err.println(f"[bench] budget ${remaining}%.0f s: stopping after $pairsDone of $reps pairs")
     }
-    def runPair(extraSoFar: Int): Unit = {
-      Seq(baseN, 4 * baseN).foreach { c => val (t, p, u) = once(c); times += ((c, t, p, u)) }
-      emitJson(extraSoFar, partial = true)
-    }
-
-    (1 to reps).foreach(_ => runPair(0))
 
     // Cross-level storm check: the two levels run IDENTICAL work, so their
     // best legs' process CPU must agree up to the measured quiet memory-
-    // fabric inflation (8c/2c ≈ 1.07) — co-tenant pressure only ever
+    // fabric inflation (8c/2c ≈ 1.1) — co-tenant pressure only ever
     // INFLATES a leg's CPU. If the best legs disagree beyond 1.25×, the
     // higher-CPU level's reps all landed in storms (observed: 2 of 3 8-core
     // legs at cpu 1056/871 core-s vs a quiet 663 in one run); run bounded
     // extra interleaved pairs rather than recording the host's weather as
     // the job's scaling. Every leg, extra or not, is published in raw_runs.
+    phase = "parity-retry"
     val maxExtraPairs = sys.env.getOrElse("GRAFT_BENCH_EXTRA_PAIRS", "2").toInt
     def cpuAgree: Boolean = {
       val r = bestCpu(4 * baseN) / bestCpu(baseN)
       r.isNaN || (r < 1.25 && r > 0.8)
     }
-    var extraPairs = 0
-    while (pinnedUsed && !cpuAgree && extraPairs < maxExtraPairs) {
+    while (times.forall(_._5) && !cpuAgree && extraPairs < maxExtraPairs &&
+        remaining > pairGate) {
       System.err.println(f"[bench] best-leg CPU disagrees across levels " +
         f"(${bestCpu(baseN)}%.0f vs ${bestCpu(4 * baseN)}%.0f core-s) — extra interleaved pair")
       extraPairs += 1
-      runPair(extraPairs)
+      runPair()
     }
 
     graft.tools.StageBench.deleteRec(
       new java.io.File(inputDir).getParentFile) // ~25 KB/clip of temp input
     legLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
 
-    // final (non-partial) write, then the one machine-parseable stdout line
-    val json = emitJson(extraPairs, partial = false)
-    println(json)
-    System.out.flush()
+    // final (non-partial) write + print
+    phase = "done"
+    emit(partial = false)
   }
 }
