@@ -92,7 +92,14 @@ object CandidatePairs {
             else {
               // streaming overflow chain (see class doc): ring buffer of the
               // last `width` members, seeded from the sorted chain's tail so
-              // overflow members stay connected to the buffered component
+              // overflow members stay connected to the buffered component.
+              // Overflow pairs carry the FROZEN buffered-prefix src — not a
+              // running accumulation, which would make a pair's `sources`
+              // depend on where in the arrival order it was emitted and
+              // diverge from the head pairs' view of the same bucket. The
+              // per-pair mask stays diagnostic either way (class doc);
+              // freezing just removes one gratuitous nondeterminism axis.
+              val overflowSrc = src
               val window = new Array[String](width)
               var filled = 0
               var pos = 0
@@ -104,13 +111,12 @@ object CandidatePairs {
               sorted.takeRight(width).foreach(push)
               rows.flatMap { r =>
                 val x = r._3
-                src |= r._2
                 val out = new ArrayBuffer[(String, String, Int, Boolean)](filled)
                 var k = 0
                 while (k < filled) {
                   val w = window(k)
                   if (w != x)
-                    out += (if (x < w) (x, w, src, true) else (w, x, src, true))
+                    out += (if (x < w) (x, w, overflowSrc, true) else (w, x, overflowSrc, true))
                   k += 1
                 }
                 push(x)

@@ -119,6 +119,16 @@ object Components {
         .repartition(loopParts, $"src")
         .sortWithinPartitions($"src")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Materialize the edge cache BEFORE the first persistedIds snapshot.
+      // DataFrame.persist registers its RDD in sc.getPersistentRDDs only at
+      // first materialization — deferring that to the round-0 fingerprint
+      // job would make rotateBlocks count und as a round-0 ckpt block and
+      // sweep it at round 1, so every round >= 2 would silently recompute
+      // the whole symmetrized edge list (the design contract is one cache
+      // scan per round). One extra job per CC invocation, amortized over
+      // all rounds; it also keeps reliable-checkpoint mode's eager round-0
+      // job from registering und inside a rotation window.
+      und.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
 
       def fingerprint(labels: DataFrame): Long =
         labels.agg(coalesce(expr("bit_xor(xxhash64(clip_id, label))"), lit(0L)))

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * seed↔window equi-join. Candidates then get exact containment
   * verification in [[VerifyPairs]] (operator-Q7 style). Window rows are
   * distinct per (hash, doc) so a repeated phrase costs one row; hot-phrase
-  * buckets fall back to the same chain-pair capping as the band shuffle.
+  * buckets fall back to the same chain-pair capping as the band shuffle,
+  * with the same `bucketHardStop` memory bound: at most hardStop members
+  * are buffered per group, the rest stream through an O(chainWidth) ring
+  * buffer (connected, flagged `capped`, never dropped — and never an OOM).
   *
   * Documents shorter than W tokens are out of scope of this pass (exact
   * equality and MinHash cover them); documented limitation.
@@ -90,30 +93,97 @@ object SuffixDups {
     // Bounds, documented recall limit: at most SeedProbeLimit seeds fan
     // out, each against the first `cap` id-sorted members — a container
     // beyond that in a >cap group is still missed, flagged via `capped`.
+    //
+    // Memory bound (same contract as CandidatePairs, which fixed exactly
+    // this hole first): a task buffers at most `bucketHardStop` group
+    // members (sorted, deterministic). Members BEYOND the buffer — a
+    // boilerplate window shared by millions of docs at 10^12 rows —
+    // are chain-paired in a STREAMING pass over a ring buffer of the last
+    // `chainWidth` members, bridged to the sorted chain's tail: O(width)
+    // memory, nothing dropped, the group stays connected. Overflow seeds
+    // still probe the buffered id-sorted prefix while the global
+    // SeedProbeLimit budget lasts. Trade, documented: overflow pairs
+    // depend on shuffle arrival order, so groups above `bucketHardStop`
+    // are connected-but-nondeterministic rather than OOM or silent drop.
     val cap = conf.bucketCap
     val width = conf.chainWidth
+    val hardStop = conf.bucketHardStop
     val pairs = tagged
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, rows: Iterator[(Long, String, Boolean)]) =>
-        val members = rows.map(r => (r._2, r._3)).toArray.distinct.sortBy(_._1)
-        if (members.length < 2) Iterator.empty
-        else if (members.length <= cap) {
-          for {
-            (a, isSeed) <- members.iterator if isSeed
-            (b, _) <- members.iterator if a != b
-          } yield (if (a < b) (a, b, false) else (b, a, false))
-        } else {
-          val chain = for {
-            i <- members.indices.iterator
-            d <- (1 to width).iterator
-            if i + d < members.length
-          } yield (members(i)._1, members(i + d)._1, true)
-          val probes = for {
-            (a, _) <- members.iterator.filter(_._2).take(SeedProbeLimit)
-            (b, _) <- members.iterator.take(cap)
-            if a != b
-          } yield (if (a < b) (a, b, true) else (b, a, true))
-          chain ++ probes
+        val buf = new scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+        while (rows.hasNext && buf.length < hardStop) {
+          val r = rows.next()
+          buf += ((r._2, r._3))
+        }
+        val members = buf.toArray.distinct.sortBy(_._1)
+        val overflowing = rows.hasNext
+        if (members.length < 2 && !overflowing) Iterator.empty
+        else {
+          var seedBudget = SeedProbeLimit
+          val head: Iterator[(String, String, Boolean)] =
+            if (members.length < 2) Iterator.empty
+            else if (members.length <= cap && !overflowing) {
+              for {
+                (a, isSeed) <- members.iterator if isSeed
+                (b, _) <- members.iterator if a != b
+              } yield (if (a < b) (a, b, false) else (b, a, false))
+            } else {
+              val chain = for {
+                i <- members.indices.iterator
+                d <- (1 to width).iterator
+                if i + d < members.length
+              } yield (members(i)._1, members(i + d)._1, true)
+              val probes = for {
+                (a, _) <- members.iterator.filter(_._2).take(SeedProbeLimit)
+                (b, _) <- members.iterator.take(cap)
+                if a != b
+              } yield {
+                (if (a < b) (a, b, true) else (b, a, true))
+              }
+              // consume the seed budget for the head's probing seeds so the
+              // overflow pass honors the same global per-group bound
+              seedBudget -= math.min(SeedProbeLimit, members.count(_._2))
+              chain ++ probes
+            }
+          val tail: Iterator[(String, String, Boolean)] =
+            if (!overflowing) Iterator.empty
+            else {
+              val probeTargets = members.iterator.take(cap).map(_._1).toArray
+              val window = new Array[String](width)
+              var filled = 0
+              var pos = 0
+              def push(x: String): Unit = {
+                window(pos) = x
+                pos = (pos + 1) % width
+                if (filled < width) filled += 1
+              }
+              members.takeRight(width).foreach(m => push(m._1))
+              rows.flatMap { r =>
+                val x = r._2
+                val isSeed = r._3
+                val out = new scala.collection.mutable.ArrayBuffer[(String, String, Boolean)](filled)
+                var k = 0
+                while (k < filled) {
+                  val wv = window(k)
+                  if (wv != x)
+                    out += (if (x < wv) (x, wv, true) else (wv, x, true))
+                  k += 1
+                }
+                if (isSeed && seedBudget > 0) {
+                  seedBudget -= 1
+                  var p = 0
+                  while (p < probeTargets.length) {
+                    val b = probeTargets(p)
+                    if (b != x) out += (if (x < b) (x, b, true) else (b, x, true))
+                    p += 1
+                  }
+                }
+                push(x)
+                out.iterator
+              }
+            }
+          head ++ tail
         }
       }
 

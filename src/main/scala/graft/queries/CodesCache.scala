@@ -17,10 +17,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * At production scale this materialization is the bucketed codes table
   * you would write to distributed storage once per index build (operator
-  * B1/B2); `persist` is the single-box analogue. The DuckDB oracles keep
-  * the single-statement WITH form — DuckDB materializes multi-referenced
-  * CTEs on its own — so cross-engine hash-match is unaffected: the view is
-  * defined by the exact same SQL text the CTE previously held.
+  * B1/B2). Two single-box analogues, selected by `GRAFT_INDEX_DIR`:
+  *
+  *  - default (unset): eager `localCheckpoint` — MEMORY_AND_DISK blocks
+  *    with TRUNCATED lineage. **Fault model, stated plainly:** on a real
+  *    cluster, losing an executor mid-session destroys that executor's
+  *    blocks and, because the lineage is gone, every query over the view
+  *    fails permanently (no recompute path) until the index is rebuilt in
+  *    a new session. That is acceptable for the single-JVM sandbox (the
+  *    "executor" dying means the whole session died) and for ephemeral
+  *    benchmark sessions, NOT for long-lived production sessions.
+  *  - `GRAFT_INDEX_DIR=<dir>`: the production shape — the relation is
+  *    written ONCE as parquet under `<dir>/<view name>` and the view reads
+  *    the files. Executor loss costs a re-scan of storage, never a rebuild
+  *    or a dead view; the files also outlive the session, which is exactly
+  *    the reference's persisted index the `saveTable` stubs never
+  *    implemented (`StdHashIndex.h:189-192`).
+  *
+  * The DuckDB oracles keep the single-statement WITH form — DuckDB
+  * materializes multi-referenced CTEs on its own — so cross-engine
+  * hash-match is unaffected: the view is defined by the exact same SQL
+  * text the CTE previously held.
+  *
+  * Static-input assumption (documented contract): a (session, dir, name)
+  * entry is built once and never invalidated — rewriting the parquet under
+  * `dir` mid-session serves the OLD index, exactly as the reference's
+  * built hash tables do not track mutations of the base data. Use a new
+  * session (or a new dir) for new data.
   */
 object CodesCache {
 
@@ -28,25 +51,46 @@ object CodesCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Entry]()
 
+  /** Collision-resistant dir tag for view names: 16 hex chars of SHA-256.
+    * (32-bit String.hashCode collides birthday-style across a few tens of
+    * thousands of dirs — and a collision would silently serve one dir's
+    * index for another, since createOrReplaceTempView overwrites.) */
+  private def dirTag(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Temp-view name of `sql` (over `dir`'s already-registered tables),
     * materialized once per (session, dir, name); later calls — including
     * from other query families in the same session — reuse the view. The
-    * view name carries a dir hash so one session can hold several dirs'
+    * view name carries a dir digest so one session can hold several dirs'
     * indexes side by side.
     *
-    * Materialization is an EAGER `localCheckpoint`, not `persist`: the
-    * code expressions are higher-order-function folds whose lambda
-    * variables defeat canonicalized plan matching, so the CacheManager
-    * never substitutes an InMemoryRelation for view references (measured:
-    * 0 substitutions with `persist`). The checkpoint truncates the view's
-    * plan to a scan of the computed blocks — references CANNOT re-expand
-    * into a rebuild. Blocks are storage-level MEMORY_AND_DISK and die
-    * with the session. */
+    * Materialization is an EAGER `localCheckpoint` (or a parquet write
+    * when `GRAFT_INDEX_DIR` is set — see class doc for the fault-model
+    * trade), not `persist`: the code expressions are higher-order-function
+    * folds whose lambda variables defeat canonicalized plan matching, so
+    * the CacheManager never substitutes an InMemoryRelation for view
+    * references (measured: 0 substitutions with `persist`). The checkpoint
+    * truncates the view's plan to a scan of the computed blocks —
+    * references CANNOT re-expand into a rebuild. */
   def materialize(spark: SparkSession, dir: String, name: String, sql: String): String = {
     evictStopped()
     cache.computeIfAbsent((spark, dir, name), _ => {
-      val viewName = s"${name}_${java.lang.Integer.toHexString(dir.hashCode)}"
-      val df = spark.sql(sql).localCheckpoint(true)
+      val viewName = s"${name}_${dirTag(dir)}"
+      // env for deployments; -Dgraft.index.dir for in-JVM callers (tests)
+      val df = sys.props.get("graft.index.dir").orElse(sys.env.get("GRAFT_INDEX_DIR")) match {
+        case Some(root) =>
+          // production spill path: build once to storage, query the files
+          val target = s"$root/$viewName"
+          val fs = new java.io.File(target)
+          if (!fs.isDirectory || !new java.io.File(fs, "_SUCCESS").isFile)
+            spark.sql(sql).write.mode("overwrite").parquet(target)
+          spark.read.parquet(target)
+        case None =>
+          spark.sql(sql).localCheckpoint(true)
+      }
       df.createOrReplaceTempView(viewName)
       Entry(viewName, df)
     }).view

@@ -152,6 +152,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.size <= n * 2 * c.chainWidth, s"pair count ${pairs.size} not linear")
   }
 
+  test("suffix-pass window group beyond bucketHardStop streams bounded, connected, flagged") {
+    // one boilerplate W-token window shared by 40 docs with a tiny
+    // configured hardStop of 8: the generator must buffer at most 8
+    // members and stream the other 32 through the ring-buffer chain —
+    // (a) every member appears in pairs, (b) the group stays one
+    // component, (c) the pair count stays in the linear regime,
+    // (d) every pair is flagged capped. (Before this path existed, the
+    // generator buffered the WHOLE group per task — the 10^12-row OOM.)
+    val w = conf.substringWindow
+    val common = (1 to w).map(i => s"b$i").mkString(" ")
+    val n = 40
+    val ids = (0 until n).map(i => f"s$i%03d")
+    val clips = ids.map(id => (id, common)).toDF("clip_id", "transcript")
+    val c = conf.copy(bucketCap = 4, chainWidth = 2, bucketHardStop = 8)
+    val rows = SuffixDups.candidates(spark, clips, c)
+      .select("a", "b", "capped").as[(String, String, Boolean)].collect()
+    assert(rows.forall(_._3), "every pair of an overflowed window group must be flagged capped")
+    assert(rows.forall(r => r._1 < r._2), "pairs must be endpoint-ordered")
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    assert(pairs.flatMap(p => Set(p._1, p._2)) === ids.toSet,
+      "every member (incl. overflow) must appear in at least one pair")
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: String): String = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert(ids.map(find).toSet.size === 1, "overflowed window group must remain one component")
+    // linear regime: chain O(n·width) + seed probes O(SeedProbeLimit·cap)
+    assert(pairs.size <= n * 2 * c.chainWidth + SuffixDups.SeedProbeLimit * c.bucketCap,
+      s"pair count ${pairs.size} not in the bounded regime")
+  }
+
   test("capped hot-phrase group still finds containment pairs beyond the chain width") {
     // > bucketCap docs share one boilerplate window; a contained doc's true
     // container sits ~190 ids away — chain pairs (width 2) alone would

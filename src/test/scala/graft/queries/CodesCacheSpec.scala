@@ -27,6 +27,31 @@ class CodesCacheSpec extends AnyFunSuite {
     assert(first === second)
   }
 
+  test("GRAFT_INDEX_DIR spill path: index built once to parquet, views read the files") {
+    // the production fault-model alternative to localCheckpoint blocks
+    // (class doc): executor loss costs a file re-scan, never a dead view
+    val root = java.nio.file.Files.createTempDirectory("graft-indexdir").toString
+    System.setProperty("graft.index.dir", root)
+    try {
+      val v = CodesCache.materialize(spark, "/fake/dir-spill", "cc_spill",
+        "SELECT rand() AS r FROM range(7)")
+      val dir = new java.io.File(root, v)
+      assert(dir.isDirectory && new java.io.File(dir, "_SUCCESS").isFile,
+        "spilled index must be a completed parquet write under GRAFT_INDEX_DIR")
+      // materialized once: rand() pinned by the files, identical re-reads
+      val first = spark.sql(s"SELECT sum(r) FROM $v").head().getDouble(0)
+      val second = spark.sql(s"SELECT sum(r) FROM $v").head().getDouble(0)
+      assert(first === second)
+      // the view is file-backed, not block-backed: its plan scans the spill
+      val plan = spark.sql(s"SELECT * FROM $v").queryExecution.executedPlan.toString
+      assert(plan.contains(v) || plan.toLowerCase.contains("parquet"),
+        s"spill view must read parquet, plan was:\n$plan")
+    } finally {
+      System.clearProperty("graft.index.dir")
+      graft.tools.StageBench.deleteRec(new java.io.File(root))
+    }
+  }
+
   test("forest knn and recall share one materialized code table per dir") {
     val dir = "/root/testdata/sf0.001"
     ForestQueries.queries("q_ann_forest_knn")(spark, dir).count()
