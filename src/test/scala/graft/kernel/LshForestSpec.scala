@@ -56,6 +56,64 @@ class LshForestSpec extends AnyFunSuite {
     assert(brute(q, d1).nonEmpty && (d1 == 0 || brute(q, d1 - 1).isEmpty))
   }
 
+  test("Q4 depth-major round-robin union is set-equivalent to the DISTINCT union") {
+    // The reference's multi-table forest query accumulates candidates
+    // depth-major: for qDepth j = 0..maxDepth, for table i = 0..L-1,
+    // collect table i's backoff-level-j subtree into one shared set,
+    // stopping mid-schedule once querySize is reached
+    // (/root/reference/hashIndex/HashCollection.h:212-230, depth-major
+    // interleave at :218-222). The distributed plan replaces that loop
+    // with a DISTINCT union of per-(table, level) equi-joins
+    // (ForestQueries doc). This spec pins the equivalence argument at the
+    // kernel level:
+    //  (a) UNBUDGETED, the round-robin accumulation over the full schedule
+    //      equals the DISTINCT union of every table's deepest level —
+    //      per-table levels are nested, so interleave order cannot change
+    //      the union (set union is commutative/associative/idempotent);
+    //  (b) BUDGETED, the reference's mid-schedule stop yields a SUBSET of
+    //      that same uncapped union with at least min(budget, |union|)
+    //      members — the deviation our deterministic rank cap replaces is
+    //      a truncation choice within one fixed superset, never a
+    //      different candidate universe.
+    val L = 4
+    val maxDepth = 8
+    val tables = (0 until L).map { t =>
+      LshForest.build(Array.tabulate(N)(i =>
+        Hashing.derive(0xfab1e5L + t, i) & ((1L << Bits) - 1)), Bits)
+    }
+    // members of table t's subtree at backoff level s (query with
+    // maxDepth = s and an unsatisfiable minRetrieved collects level s)
+    def levelSet(t: Int, q: Long, s: Int): Set[Int] =
+      tables(t).query(q, s, Int.MaxValue, Int.MaxValue).toSet
+    def roundRobin(qs: Array[Long], budget: Int): Set[Int] = {
+      val acc = scala.collection.mutable.Set.empty[Int]
+      var j = 0
+      var stop = false
+      while (j <= maxDepth && !stop) {
+        var t = 0
+        while (t < L && !stop) {
+          acc ++= levelSet(t, qs(t), j)
+          if (acc.size >= budget) stop = true
+          t += 1
+        }
+        j += 1
+      }
+      acc.toSet
+    }
+    for (qi <- 0 until 10) {
+      // per-table query codes (each table hashes the query independently)
+      val qs = Array.tabulate(L)(t => Hashing.derive(0x9e57L + t, qi) & ((1L << Bits) - 1))
+      val distinctUnion = (0 until L).flatMap(t => levelSet(t, qs(t), maxDepth)).toSet
+      // (a) set-equivalence over the complete schedule
+      assert(roundRobin(qs, Int.MaxValue) === distinctUnion)
+      // (b) budgeted stop = truncation within the same superset
+      val budget = math.max(1, distinctUnion.size / 3)
+      val refSet = roundRobin(qs, budget)
+      assert(refSet.subsetOf(distinctUnion))
+      assert(refSet.size >= math.min(budget, distinctUnion.size))
+    }
+  }
+
   test("build is insertion-order independent (trie ≅ sorted codes)") {
     val shuffled = codes.reverse
     val f2 = LshForest.build(shuffled, Bits)
