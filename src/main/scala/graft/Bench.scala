@@ -298,7 +298,18 @@ object Bench {
           .mkString("[", ",", "]")
         val pinnedAll = times.forall(_._5)
         f""","dedup_scaling":{"n_clips":$nClips,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedAll,"scratch":"$scratchKind","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"cpu_parity":${if (cpuParity.isNaN) "null" else f"$cpuParity%.3f"}$partialField,"raw_runs":$raw}"""
-      }.getOrElse(scalingSkipped.map(r => s""","dedup_scaling":{"skipped":${jstr(r)}}""").getOrElse(""))
+      }.getOrElse {
+        // one level measured but not the other (kill window between the
+        // first pair's legs): no quotient yet, but publish the raw legs —
+        // a partial artifact should never hide completed measurements
+        if (times.nonEmpty) {
+          val raw = times.map { case (c, t, p, u, pin) =>
+            val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
+            f"""{"cores":$c,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField,"pinned":$pin}""" }
+            .mkString("[", ",", "]")
+          s""","dedup_scaling":{"n_clips":$nClips,"base_cores":$baseN,"partial":true,"raw_runs":$raw}"""
+        } else scalingSkipped.map(r => s""","dedup_scaling":{"skipped":${jstr(r)}}""").getOrElse("")
+      }
       val errs =
         if (qErrors.isEmpty) ""
         else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
