@@ -50,18 +50,21 @@ object VerifyPairs {
     import spark.implicits._
     val c = conf
 
+    // Native codegen expressions, not a typed map: every column below stays
+    // a zero-copy read of the joined UnsafeRow, and the whole phase —
+    // join → jaccard/substring → accept flag — is one codegen'd pass (the
+    // previous Dataset.map decoded 4 Array[Long]s per PAIR to JVM arrays
+    // and re-encoded the result, the highest-volume copy in the pipeline).
+    import graft.functions.ArraySetExprs.{containsSubseq, jaccardSorted}
     val textSide = signatures.select($"clip_id", $"text_sh", $"toks_h")
     val textPhase = pairs
       .join(textSide.select($"clip_id".as("a"), $"text_sh".as("tsh_a"), $"toks_h".as("th_a")), Seq("a"))
       .join(textSide.select($"clip_id".as("b"), $"text_sh".as("tsh_b"), $"toks_h".as("th_b")), Seq("b"))
-      .select($"a", $"b", $"tsh_a", $"tsh_b", $"th_a", $"th_b")
-      .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long])]
-      .map { case (a, b, tshA, tshB, thA, thB) =>
-        val textJ = graft.kernel.Shingles.jaccardSorted(tshA, tshB)
-        val sub = isSubSequence(thA, thB) || isSubSequence(thB, thA)
-        (a, b, textJ, sub, textJ >= c.textJaccardThreshold || sub)
-      }
-      .toDF("a", "b", "text_jaccard", "substring", "text_accepted")
+      .select($"a", $"b",
+        jaccardSorted($"tsh_a", $"tsh_b").as("text_jaccard"),
+        (containsSubseq($"th_a", $"th_b") || containsSubseq($"th_b", $"th_a")).as("substring"))
+      .withColumn("text_accepted",
+        $"text_jaccard" >= c.textJaccardThreshold || $"substring")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val audioSide = signatures.select($"clip_id", $"audio_sh")
@@ -69,15 +72,11 @@ object VerifyPairs {
       .select($"a", $"b")
       .join(audioSide.select($"clip_id".as("a"), $"audio_sh".as("ash_a")), Seq("a"))
       .join(audioSide.select($"clip_id".as("b"), $"audio_sh".as("ash_b")), Seq("b"))
-      .select($"a", $"b", $"ash_a", $"ash_b")
-      .as[(String, String, Array[Long], Array[Long])]
-      .map { case (a, b, ashA, ashB) =>
-        val audioJ =
-          if (ashA.nonEmpty && ashB.nonEmpty) graft.kernel.Shingles.jaccardSorted(ashA, ashB)
-          else 0.0
-        (a, b, audioJ)
-      }
-      .toDF("a", "b", "audio_jaccard")
+      .select($"a", $"b",
+        // decode-failed / silent clips have EMPTY shingle sets: report 0.0
+        // (two empty sets are not "identical audio"), same rule as before
+        when(size($"ash_a") === 0 || size($"ash_b") === 0, lit(0.0))
+          .otherwise(jaccardSorted($"ash_a", $"ash_b")).as("audio_jaccard"))
 
     val edges = textPhase
       .join(audioPhase, Seq("a", "b"), "left")
