@@ -91,6 +91,37 @@ class PlanSpec extends AnyFunSuite {
       s"expected scans of the materialized (checkpointed) code views:\n${plan.take(3000)}")
   }
 
+  test("verify phase is object-serde free (native expressions, no Dataset.map round-trip)") {
+    // The verify stage runs once per CANDIDATE PAIR — the highest-volume
+    // row stream in the pipeline. It used to be a Dataset.map that decoded
+    // four Array[Long] columns per pair to JVM arrays; the native codegen
+    // expressions (ArraySetExprs) must keep the whole phase inside
+    // Tungsten. Signatures are fed as a plain DataFrame so any serde node
+    // in the plan can only come from the verify phase itself.
+    import spark.implicits._
+    val sig = Seq(
+      ("c1", Array(1L, 2L, 3L), Array(5L, 6L), Array(10L, 11L, 12L)),
+      ("c2", Array(2L, 3L, 4L), Array(5L, 7L), Array(11L, 12L)),
+      ("c3", Array(9L), Array.empty[Long], Array(99L)),
+      ("c4", Array(9L), Array.empty[Long], Array(98L))
+    ).toDF("clip_id", "text_sh", "audio_sh", "toks_h")
+    val pairs = Seq(("c1", "c2"), ("c3", "c4")).toDF("a", "b")
+    val v = VerifyPairs.verify(spark, pairs, sig, GraftConf())
+    val plan = v.edges.queryExecution.executedPlan.toString
+    for (bad <- Seq("DeserializeToObject", "SerializeFromObject", "MapElements", "mapPartitions"))
+      assert(!plan.contains(bad),
+        s"verify plan re-entered object land ($bad):\n${plan.take(3000)}")
+    assert(plan.contains("jaccard_sorted") && plan.contains("contains_subseq"),
+      s"expected the native expressions in the plan:\n${plan.take(3000)}")
+    // and the codegen'd run computes the right metrics: c1/c2 share 2 of 4
+    // distinct shingles, c2's tokens are a contiguous suffix of c1's
+    val rows = v.edges.collect().map(r => (r.getString(0), r.getString(1),
+      r.getDouble(2), r.getBoolean(4))).sortBy(_._1)
+    v.release()
+    assert(rows(0) == ("c1", "c2", 0.5, true))
+    assert(rows(1)._3 == 1.0) // c3/c4: identical single-shingle text
+  }
+
   test("whole-stage codegen + partial aggregation cover the relational aggregate") {
     val df = graft.queries.RelQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     df.collect() // AQE finalizes the physical plan only on execution
