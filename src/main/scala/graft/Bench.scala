@@ -1,7 +1,7 @@
 package graft
 
 import graft.synth.ClipTableGen
-import graft.tools.BenchLeg
+import graft.tools.{BenchLeg, BenchReport}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main.
@@ -20,11 +20,16 @@ import org.apache.spark.sql.SparkSession
   * any point therefore leaves the most recent measurement as the last
   * parseable stdout line instead of no artifact at all.
   *
-  * Each emitted JSON also carries `committed_full_run`: the contents of the
-  * in-repo `BENCH_FULL.json` — the best COMMITTED full-protocol scaling run
-  * (800k clips, 3+ interleaved pinned pairs; see BASELINE.md §3) — clearly
-  * labeled with its source file so readers can distinguish "what this
-  * budgeted run measured live" from "what the full protocol recorded".
+  * THE LINE IS TWO LINES (round 5): the driver keeps only a 2000-char
+  * stdout TAIL, and round 4's single ~3.9 KB line (raw legs + the embedded
+  * committed run) started mid-line in that window, so a measured 0.979
+  * efficiency went machine-unrecorded. Rendering now lives in
+  * [[graft.tools.BenchReport]]: stdout (and the SIGTERM hook) gets the
+  * COMPACT line — spec-pinned ≤ 1900 chars at maximum protocol shape
+  * (BenchReportSpec) — while `GRAFT_BENCH_OUT` gets the FULL line with
+  * every raw leg and the committed `BENCH_FULL.json` (the best committed
+  * full-protocol run, 800k clips; BASELINE.md §3) embedded verbatim. The
+  * compact line references that run by filename + a 3-field summary.
   *
   * Phases (most valuable first within the budget):
   *  1. headline driver queries at `local[SPARK_GRAFT_CPUS]` on
@@ -246,11 +251,11 @@ object Bench {
 
     val qErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val qTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    // (cores, wallSec, probeSec, cpuSec, pinned, nClips) per completed
-    // scaling leg — legs carry their own input size because the EARLY pair
-    // below runs at a smaller n than the main pairs, and a quotient must
-    // never mix sizes
-    val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double, Boolean, Int)]
+    // completed scaling legs — each carries its own input size AND an
+    // explicit early flag (the EARLY pair runs smaller and under a weaker
+    // protocol than the main pairs; a quotient must never mix phases, even
+    // if budget resizing makes the two input sizes coincide)
+    val times = scala.collection.mutable.ArrayBuffer.empty[BenchReport.Leg]
     var nClips = nReq
     var earlyN = 0 // early-pair input size, 0 = none ran
     var scalingSkipped: Option[String] = None
@@ -259,92 +264,39 @@ object Bench {
     var scratchKind = "disk"
     var phase = "startup"
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    def bestCpu(c: Int, n: Int): Double = {
-      val v = times.filter(r => r._1 == c && r._6 == n && !r._4.isNaN).map(_._4)
-      if (v.isEmpty) Double.NaN else v.min
-    }
+    def bestCpu(c: Int, early: Boolean): Double = BenchReport.bestCpu(times.toSeq, c, early)
 
-    /** Build the current JSON, mirror it to the out file, print it to
-      * stdout, remember it for the SIGTERM hook. Called at every milestone:
-      * a kill at any point leaves the latest state as the last parseable
-      * stdout line. */
+    /** Snapshot the mutable run state for the renderers. */
+    def state(partial: Boolean): BenchReport.State = BenchReport.State(
+      queries = qTimes.toSeq,
+      errors = qErrors.toSeq,
+      legs = times.toSeq,
+      baseN = baseN,
+      mainClips = nClips,
+      earlyClips = earlyN,
+      scalingSkipped = scalingSkipped,
+      extraPairs = extraPairs,
+      heapPerCoreGb = heapPerCoreGb,
+      scratchKind = scratchKind,
+      sfDir = sfDir,
+      meta = BenchReport.Meta(startedUtc, elapsed, budgetSec, phase, nReq, nClips,
+        earlyN, reps, pairsDone = times.count(!_.early) / 2, protocol = "r5-compact"),
+      committedSource =
+        fullRun.map(_ => sys.env.getOrElse("GRAFT_BENCH_FULL_JSON", "BENCH_FULL.json")),
+      committedJson = fullRun,
+      partial = partial)
+
+    /** Render the current state, mirror the FULL line to the out file,
+      * print the COMPACT line (≤ 1900 chars, BenchReportSpec-pinned — the
+      * driver parses a 2000-char stdout tail) to stdout, remember it for
+      * the SIGTERM hook. Called at every milestone: a kill at any point
+      * leaves the latest state as the last parseable stdout line. */
     def emit(partial: Boolean): String = {
-      // The reported quotient comes from ONE input size: the main size when
-      // a full pair exists there, else the early-pair size. raw_runs always
-      // publishes every leg with its own n_clips.
-      def pairAt(n: Int): Option[(Double, Double)] = {
-        val tN = times.collect { case (c, t, _, _, _, m) if c == baseN && m == n => t }
-        val t4N = times.collect { case (c, t, _, _, _, m) if c == 4 * baseN && m == n => t }
-        if (tN.nonEmpty && t4N.nonEmpty) Some((tN.min, t4N.min)) else None
-      }
-      val (scaleN, legSecs, isEarly) = pairAt(nClips) match {
-        case Some(p) => (nClips, Some(p), false)
-        case None => pairAt(earlyN).filter(_ => earlyN > 0) match {
-          case Some(p) => (earlyN, Some(p), true)
-          case None => (nClips, None, false)
-        }
-      }
-      val qs = (qTimes ++ legSecs.toSeq.flatMap { case (tN, t4N) => Seq(
-        s"dedup_pipeline_local$baseN" -> tN,
-        s"dedup_pipeline_local${4 * baseN}" -> t4N) })
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      val total = qTimes.map(_._2).sum + legSecs.map(p => p._1 + p._2).getOrElse(0.0)
-      val partialField = if (partial) ""","partial":true""" else ""
-      // raw interleaved run times + the pre-leg memory-fabric probe
-      // reading, the leg's own process CPU (noise-spread transparency: a
-      // stormy leg shows inflated CPU for identical work), whether THIS
-      // leg ran pinned (a mid-run spawn failure degrades later legs to the
-      // floating in-process protocol; mixing is machine-visible), and the
-      // leg's own input size (the early pair runs smaller than the main)
-      def rawRuns: String = times.map { case (c, t, p, u, pin, m) =>
-        val cpuField = if (u.isNaN) "" else f""","cpu_sec":$u%.3f"""
-        f"""{"cores":$c,"n_clips":$m,"sec":$t%.3f,"probe_sec":$p%.3f$cpuField,"pinned":$pin}""" }
-        .mkString("[", ",", "]")
-      val dedup = legSecs.map { case (tN, t4N) =>
-        val cpsN = scaleN / tN
-        val cps4N = scaleN / t4N
-        val eff = (tN / t4N) / 4.0
-        // published weather indicator: identical work ⇒ best-leg CPU parity
-        // ≈ the quiet fabric inflation (~1.1). A recorded quotient with
-        // parity ≫ 1.25 means every big-leg rep landed in a co-tenant storm
-        // (CPU only inflates) — the quotient then measures the host's
-        // weather, not the job; readers see that without the stderr log.
-        val cpuParity = bestCpu(4 * baseN, scaleN) / bestCpu(baseN, scaleN)
-        val pinnedAll = times.forall(_._5)
-        // "early":true = this quotient comes from the small first pair, run
-        // so a short kill window still records a measured efficiency; the
-        // main-size pairs replace it the moment both levels land
-        val earlyField = if (isEarly) ""","early":true""" else ""
-        f""","dedup_scaling":{"n_clips":$scaleN,"base_cores":$baseN,"clips_per_sec_N":$cpsN%.1f,"clips_per_sec_4N":$cps4N%.1f,"scaling_efficiency":$eff%.3f,"pinned":$pinnedAll,"scratch":"$scratchKind","heap_per_core_gb":$heapPerCoreGb,"extra_pairs":$extraPairs,"cpu_parity":${if (cpuParity.isNaN) "null" else f"$cpuParity%.3f"}$earlyField$partialField,"raw_runs":$rawRuns}"""
-      }.getOrElse {
-        // one level measured but not the other (kill window between the
-        // first pair's legs): no quotient yet, but publish the raw legs —
-        // a partial artifact should never hide completed measurements
-        if (times.nonEmpty) {
-          s""","dedup_scaling":{"n_clips":$scaleN,"base_cores":$baseN,"partial":true,"raw_runs":$rawRuns}"""
-        } else scalingSkipped.map(r => s""","dedup_scaling":{"skipped":${jstr(r)}}""").getOrElse("")
-      }
-      val errs =
-        if (qErrors.isEmpty) ""
-        else qErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-          .mkString(""","errors":{""", ",", "}")
-      val committed = fullRun.map(s =>
-        s""","committed_full_run_source":${jstr(sys.env.getOrElse("GRAFT_BENCH_FULL_JSON", "BENCH_FULL.json"))},"committed_full_run":$s""").getOrElse("")
-      // self-describing run metadata: a partial artifact says what it was
-      // attempting, how long it had run, and which phase the kill landed in
-      val meta =
-        f""""meta":{"started_utc":${jstr(startedUtc)},"wall_total_sec":$elapsed%.1f,"budget_sec":$budgetSec%.0f,"phase":${jstr(phase)},"clips_requested":$nReq,"clips_used":$nClips,"early_pair_clips":$earlyN,"reps_requested":$reps,"pairs_done":${times.count(_._6 == nClips) / 2},"protocol":"r4-budgeted"}"""
-      val json =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"$dedup$errs$committed}"""
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+      val st = state(partial)
+      val full = BenchReport.renderFull(st)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+      val json = BenchReport.renderCompact(st)
       latestJson = json
       if (!partial) deliveredFinal = true
       println(json)
@@ -435,9 +387,13 @@ object Bench {
     }
 
     /** One timed leg on `dir` (n clips): quiet-window wait, pinned child
-      * JVM, optional un-pinned in-process fallback, milestone emit. */
+      * JVM, optional un-pinned in-process fallback, milestone emit.
+      * `isEarly` tags the leg's phase explicitly — quotients and parity are
+      * keyed on the flag, never on the input size (which budget resizing
+      * can make coincide across phases). */
     def once(cores: Int, dir: String, localRoot: Option[String], n: Int,
-        maxWait: Int, fallback: Option[() => Unit], warmCap: Int = Int.MaxValue): Unit = {
+        maxWait: Int, fallback: Option[() => Unit], warmCap: Int = Int.MaxValue,
+        isEarly: Boolean = false): Unit = {
       val probe = waitQuiet(maxWait)
       val warmRows = math.min(math.min(warmCap,
         sys.env.getOrElse("GRAFT_BENCH_WARMUP_ROWS", "100000").toInt), n / 2)
@@ -452,7 +408,7 @@ object Bench {
         })
       leg match {
         case Some((t, cpu, pinned)) =>
-          times += ((cores, t, probe, cpu, pinned, n))
+          times += BenchReport.Leg(cores, t, probe, cpu, pinned, n, isEarly)
           emit(partial = true) // milestone: every completed leg updates the artifact
         case None =>
           System.err.println(s"[bench] cores=$cores n=$n: leg skipped (no pinned run, no fallback)")
@@ -481,35 +437,49 @@ object Bench {
         d.toString
       }
       scratchKind = if (earlyLocalRoot.isDefined) "tmpfs" else "disk"
-      // short quiet-wait cap: the early pair's whole point is landing
-      // before an unknown kill; the main pairs re-measure under the full
-      // hygiene protocol and replace it
-      val earlyWait = math.min(loadWait, 45)
-      // 30k-row warmup cap: enough input to JIT the hot loops, not the 100k
-      // default (2/3 of the early input untimed would push the early
-      // quotient past the very kill window it exists to beat)
-      Seq(baseN, 4 * baseN).foreach(c =>
-        once(c, earlyDir, earlyLocalRoot, earlyN, earlyWait, fallback = None, warmCap = 30000))
-      // Cheap single-leg retries when the early pair's own CPU parity says
-      // a storm hit one level (identical work ⇒ CPU parity ≈ the ~1.1
-      // quiet fabric inflation; a storm only ever INFLATES a leg's CPU).
-      // The full hygiene protocol runs only at the main size — but if the
-      // driver's kill lands before the first main pair, the early quotient
-      // IS the recorded one, so don't leave it storm-shaped when ~60 s
-      // fixes it. Gated so the main phase still fits the budget.
-      def earlyParity: Double = bestCpu(4 * baseN, earlyN) / bestCpu(baseN, earlyN)
-      var earlyRetries = 0
-      while (earlyRetries < 2 && !earlyParity.isNaN &&
-          (earlyParity > 1.25 || earlyParity < 0.8) &&
-          remaining > scalingCost(minClips) + 160) {
-        val level = if (earlyParity > 1.25) 4 * baseN else baseN
-        System.err.println(f"[bench] early-pair CPU parity $earlyParity%.2f — one retry at cores=$level")
-        earlyRetries += 1
-        once(level, earlyDir, earlyLocalRoot, earlyN, earlyWait, fallback = None, warmCap = 30000)
+      // tmpfs scratch is host RAM: free it even when a SIGTERM or an
+      // exception lands mid-phase (normal path frees it in the same
+      // finally; the PID-stamped sweep covers SIGKILL/OOM)
+      val earlyCleanup = new Thread(() => {
+        graft.tools.StageBench.deleteRec(new java.io.File(earlyDir).getParentFile)
+        earlyLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
+      })
+      Runtime.getRuntime.addShutdownHook(earlyCleanup)
+      try {
+        // short quiet-wait cap: the early pair's whole point is landing
+        // before an unknown kill; the main pairs re-measure under the full
+        // hygiene protocol and replace it
+        val earlyWait = math.min(loadWait, 45)
+        // 30k-row warmup cap: enough input to JIT the hot loops, not the 100k
+        // default (2/3 of the early input untimed would push the early
+        // quotient past the very kill window it exists to beat)
+        Seq(baseN, 4 * baseN).foreach(c =>
+          once(c, earlyDir, earlyLocalRoot, earlyN, earlyWait, fallback = None,
+            warmCap = 30000, isEarly = true))
+        // Cheap single-leg retries when the early pair's own CPU parity says
+        // a storm hit one level (identical work ⇒ CPU parity ≈ the ~1.1
+        // quiet fabric inflation; a storm only ever INFLATES a leg's CPU).
+        // The full hygiene protocol runs only at the main size — but if the
+        // driver's kill lands before the first main pair, the early quotient
+        // IS the recorded one, so don't leave it storm-shaped when ~60 s
+        // fixes it. Gated so the main phase still fits the budget.
+        def earlyParity: Double = bestCpu(4 * baseN, early = true) / bestCpu(baseN, early = true)
+        var earlyRetries = 0
+        while (earlyRetries < 2 && !earlyParity.isNaN &&
+            (earlyParity > 1.25 || earlyParity < 0.8) &&
+            remaining > scalingCost(minClips) + 160) {
+          val level = if (earlyParity > 1.25) 4 * baseN else baseN
+          System.err.println(f"[bench] early-pair CPU parity $earlyParity%.2f — one retry at cores=$level")
+          earlyRetries += 1
+          once(level, earlyDir, earlyLocalRoot, earlyN, earlyWait, fallback = None,
+            warmCap = 30000, isEarly = true)
+        }
+      } finally {
+        // free the early scratch immediately — the main input needs the room
+        earlyCleanup.run()
+        try Runtime.getRuntime.removeShutdownHook(earlyCleanup)
+        catch { case _: IllegalStateException => } // already shutting down
       }
-      // free the early scratch immediately — the main input needs the room
-      graft.tools.StageBench.deleteRec(new java.io.File(earlyDir).getParentFile)
-      earlyLocalRoot.foreach(d => graft.tools.StageBench.deleteRec(new java.io.File(d)))
     }
 
     // ---- phase 2: same job, same input, two parallelism levels ----------
@@ -567,10 +537,10 @@ object Bench {
     // else from the planning constants, until the first main pair lands)
     def measuredPairCost: Double = {
       val byLevel = Seq(baseN, 4 * baseN).map { c =>
-        val v = times.filter(r => r._1 == c && r._6 == nClips).map(_._2)
+        val v = times.filter(l => l.cores == c && !l.early).map(_.sec)
         if (v.nonEmpty) v.max
         else {
-          val e = times.filter(r => r._1 == c && r._6 == earlyN).map(_._2)
+          val e = times.filter(l => l.cores == c && l.early).map(_.sec)
           if (earlyN > 0 && e.nonEmpty) e.min / earlyN * nClips * 1.25
           else nClips * (if (c == baseN) secPerClip2c else secPerClip8c)
         }
@@ -609,33 +579,33 @@ object Bench {
     // parity is judged on the MAIN-size legs only (identical work); the
     // early pair is superseded by then and never retried
     val maxExtraLegs = 2 * sys.env.getOrElse("GRAFT_BENCH_EXTRA_PAIRS", "2").toInt
-    def parityRatio: Double = bestCpu(4 * baseN, nClips) / bestCpu(baseN, nClips)
+    def parityRatio: Double = bestCpu(4 * baseN, early = false) / bestCpu(baseN, early = false)
     def cpuAgree: Boolean = {
       val r = parityRatio
       r.isNaN || (r < 1.25 && r > 0.8)
     }
     def contestedLevel: Int = if (parityRatio > 1.25) 4 * baseN else baseN
     def legGate(cores: Int): Double = {
-      val v = times.filter(r => r._1 == cores && r._6 == nClips).map(_._2)
+      val v = times.filter(l => l.cores == cores && !l.early).map(_.sec)
       val est = if (v.isEmpty) nClips * (if (cores == baseN) secPerClip2c else secPerClip8c)
         else v.min
       est * 1.2 + loadWait + 60 // JVM start + warmup + one bounded wait
     }
     var extraLegs = 0
     var futile = 0 // consecutive retries that did not improve the level's best CPU
-    while (times.forall(_._5) && !cpuAgree && extraLegs < maxExtraLegs && futile < 2 &&
+    while (times.forall(_.pinned) && !cpuAgree && extraLegs < maxExtraLegs && futile < 2 &&
         remaining > legGate(contestedLevel)) {
       System.err.println(f"[bench] best-leg CPU disagrees across levels " +
-        f"(${bestCpu(baseN, nClips)}%.0f vs ${bestCpu(4 * baseN, nClips)}%.0f core-s) — " +
+        f"(${bestCpu(baseN, early = false)}%.0f vs ${bestCpu(4 * baseN, early = false)}%.0f core-s) — " +
         f"extra leg at the contested level (${contestedLevel} cores)")
       extraLegs += 1
       extraPairs = (extraLegs + 1) / 2 // JSON continuity: retry effort in pair units
       val level = contestedLevel
-      val before = bestCpu(level, nClips)
+      val before = bestCpu(level, early = false)
       once(level, inputDir, legLocalRoot, nClips, loadWait, fallback = Some(() => inProcessWarmed))
       // two non-improving retries in a row ⇒ the disagreement is structural
       // (tiny-n job floor) or the storm is sustained — stop spending budget
-      if (bestCpu(level, nClips) >= 0.97 * before) futile += 1 else futile = 0
+      if (bestCpu(level, early = false) >= 0.97 * before) futile += 1 else futile = 0
     }
 
     graft.tools.StageBench.deleteRec(

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -29,9 +30,15 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType,
   *    (empty inner never matches — a clip with no transcript is not
   *    "contained" in everything).
   *
-  * Assumes non-null array elements (the signature stage writes primitive
-  * `Array[Long]` columns, `containsNull = false`); a null ARRAY input
-  * yields null via the standard null-intolerant binary contract.
+  * Requires non-null array ELEMENTS, enforced at analysis time: both loops
+  * read via `getLong`, which returns garbage (not an error) for a null slot
+  * in unsafe array data, so a `containsNull = true` input is rejected by
+  * `checkInputDataTypes` instead of silently corrupting the metric. The
+  * signature stage writes primitive `Array[Long]` columns
+  * (`containsNull = false`) on both the encoder and the parquet-resume
+  * paths; anything else must `array_compact` + cast first. A null ARRAY
+  * input still yields null via the standard null-intolerant binary
+  * contract.
   */
 object ArraySetExprs {
   /** Exact Jaccard of two sorted distinct Array[Long] columns. */
@@ -45,11 +52,31 @@ object ArraySetExprs {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 }
 
-case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-
+/** Analysis-time guard shared by the set/sequence kernels: `sameType`-based
+  * input checking ignores nullability, so `ExpectsInputTypes` alone accepts
+  * `array<bigint>` with nullable elements — which the `getLong` loops would
+  * silently misread. Fail the plan instead. */
+trait NonNullLongArrayInputs extends ExpectsInputTypes { self: BinaryExpression =>
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) return base
+    children.zipWithIndex.collectFirst {
+      case (c, i) if c.dataType.asInstanceOf[ArrayType].containsNull => i
+    } match {
+      case Some(i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> with non-null elements, but argument ${i + 1} " +
+          "allows null elements (containsNull=true); array_compact + cast the input first")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
+
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with NonNullLongArrayInputs {
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
 
@@ -107,10 +134,8 @@ case class JaccardSorted(left: Expression, right: Expression)
 }
 
 case class ContainsSubseq(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with NonNullLongArrayInputs {
 
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = BooleanType
   override def prettyName: String = "contains_subseq"
 

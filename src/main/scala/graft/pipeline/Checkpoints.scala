@@ -45,17 +45,41 @@ object Checkpoints {
       case Some(root) =>
         val dir = s"$root/$name"
         val manifestPath = Paths.get(s"$root/_MANIFEST_$name.json")
+        // Spark's file sources widen every array element to nullable on
+        // read (even an explicit read-schema is asNullable'd), so a naive
+        // read-back would CHANGE the stage's schema — and downstream native
+        // kernels (graft.functions.ArraySetExprs) reject nullable-element
+        // arrays at analysis time rather than misread them. A sidecar
+        // schema file records what was written; the read-back re-tightens
+        // those columns with a zero-cost static assertion
+        // (graft.functions.SchemaAsserts): a resumed stage is byte-identical
+        // INCLUDING schema.
+        val schemaPath = Paths.get(s"$root/_SCHEMA_$name.json")
+        def readBack(): DataFrame = {
+          val df0 = spark.read.parquet(dir)
+          if (!Files.exists(schemaPath)) df0 // pre-r5 dir: widened, as before
+          else {
+            val js = new String(Files.readAllBytes(schemaPath), StandardCharsets.UTF_8)
+            graft.functions.SchemaAsserts.tightenArrays(df0,
+              org.apache.spark.sql.types.DataType.fromJson(js)
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+          }
+        }
         if (Files.exists(manifestPath)) {
           val m = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
           if (m.contains(s""""input_sig": "$inputSig"""")) {
-            val df = spark.read.parquet(dir)
-            return (df, StageInfo(name, inputSig, -1L, 0L, resumed = true, Nil))
+            return (readBack(), StageInfo(name, inputSig, -1L, 0L, resumed = true, Nil))
           }
           Files.delete(manifestPath) // stale: input changed → recompute
         }
         val t0 = System.nanoTime()
-        compute.write.mode("overwrite").parquet(dir)
-        val df = spark.read.parquet(dir)
+        val out = compute
+        out.write.mode("overwrite").parquet(dir)
+        val tmp = Paths.get(schemaPath.toString + ".tmp")
+        Files.write(tmp, out.schema.json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, schemaPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        val df = readBack()
         // per-output-file lineage: rows per parquet file of the materialized
         // stage (the durable unit a resume re-reads)
         val files = df.groupBy(input_file_name().as("file")).count()

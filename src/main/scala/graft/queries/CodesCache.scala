@@ -82,12 +82,18 @@ object CodesCache {
       // env for deployments; -Dgraft.index.dir for in-JVM callers (tests)
       val df = sys.props.get("graft.index.dir").orElse(sys.env.get("GRAFT_INDEX_DIR")) match {
         case Some(root) =>
-          // production spill path: build once to storage, query the files
+          // production spill path: build once to storage, query the files.
+          // Re-tighten array-element nullability from the query's OWN
+          // schema (analysis-only, cheap): the parquet reader widens
+          // elements to nullable, which downstream native kernels reject
+          // at analysis time.
           val target = s"$root/$viewName"
           val fs = new java.io.File(target)
+          val planned = spark.sql(sql)
           if (!fs.isDirectory || !new java.io.File(fs, "_SUCCESS").isFile)
-            spark.sql(sql).write.mode("overwrite").parquet(target)
-          spark.read.parquet(target)
+            planned.write.mode("overwrite").parquet(target)
+          graft.functions.SchemaAsserts.tightenArrays(
+            spark.read.parquet(target), planned.schema)
         case None =>
           spark.sql(sql).localCheckpoint(true)
       }

@@ -127,4 +127,20 @@ class ArraySetExprsSpec extends AnyFunSuite {
       assert(r.getBoolean(2) === VerifyPairs.isSubSequence(a, b), s"id=$id")
     }
   }
+
+  test("nullable-element arrays are rejected at analysis time, not misread") {
+    import spark.implicits._
+    // array(when(...)) has containsNull=true; getLong over such a slot would
+    // return garbage silently, so the plan must fail analysis instead
+    val df = Seq((1L, 2L)).toDF("x", "y")
+      .select(array(when($"x" > 0, $"x")).as("a"), array($"y").as("b"))
+    val errJ = intercept[Exception] { df.select(jaccardSorted($"a", $"b")).collect() }
+    val errS = intercept[Exception] { df.select(containsSubseq($"a", $"b")).collect() }
+    Seq(errJ, errS).foreach(e =>
+      assert(e.getMessage.contains("non-null elements"), e.getMessage))
+    // and the production signature schema (primitive arrays) still passes
+    val ok = Seq((Array(1L, 2L), Array(2L, 3L))).toDF("a", "b")
+      .select(jaccardSorted($"a", $"b").as("j"), containsSubseq($"a", $"b").as("s"))
+    assert(ok.collect().head.getDouble(0) === 1.0 / 3.0)
+  }
 }
