@@ -35,6 +35,19 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] cc oracle dump failed: ${e.getMessage}")
     }
+    // Kernel-stage dumps for the property oracles (Gram / variance-order /
+    // shingle-count checks — DuckDB recomputes the property from these and
+    // the driver hash-matches the expected values the queries emit).
+    Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "_rotation_matrix" -> (() => graft.queries.KernelQueries.rotationMatrixDump(spark)),
+      "_pca_basis" -> (() => graft.queries.KernelQueries.pcaBasisDump(spark, sfDir)),
+      "_audio_frame_tokens" -> (() => graft.queries.ClipQueries.audioFrameTokensDump(spark))
+    ).foreach { case (name, df) =>
+      try df().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name dump failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

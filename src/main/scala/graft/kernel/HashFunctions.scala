@@ -58,7 +58,7 @@ final class RandomProjectionHash(val nBits: Int, dim: Int, mat: Array[Float])
     }
     code
   }
-  private[kernel] def matrix: Array[Float] = mat
+  private[graft] def matrix: Array[Float] = mat
 }
 
 /** H2 — RandomRotation: like H1 but the projection rows are orthonormalized

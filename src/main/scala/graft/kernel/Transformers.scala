@@ -44,6 +44,8 @@ final class ThresholdTransformer(mu: Array[Float]) extends Transformer {
   * covariance (deterministic, dependency-free; dims ≤ a few hundred). */
 final class PcaTransformer(mu: Array[Double], w: Array[Array[Double]]) extends Transformer {
   val numDims: Int = w.length
+  /** Principal-component rows (dump surface for the DuckDB Gram oracle). */
+  private[graft] def basis: Array[Array[Double]] = w
   def apply(v: Array[Float]): Array[Float] = {
     val d = v.length
     val out = new Array[Float](numDims)

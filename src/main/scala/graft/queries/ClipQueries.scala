@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.audio.{AudioFeatures, WavCodec}
 import graft.conf.GraftConf
-import graft.kernel.{MinHash, Probes}
+import graft.kernel.{MinHash, Probes, Shingles}
 import graft.pipeline.{DedupPipeline, Signatures}
 import graft.synth.ClipTableGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -150,6 +150,65 @@ object ClipQueries {
       .orderBy(col("clip_id"), col("band_idx"))
   }
 
+  /** Per-clip quantized frame-token sequence (the kernel output of the WAV
+    * decode + framing stage) — dumped by [[graft.Verify]] as the
+    * `_audio_frame_tokens` oracle input. */
+  def audioFrameTokensDump(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    clips(spark)
+      .select(col("clip_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try AudioFeatures.frameTokens(WavCodec.decode(bytes).samples)
+          .iterator.zipWithIndex.map { case (t, i) => (id, i.toLong, t) }
+        catch { case _: IllegalArgumentException => Iterator.empty }
+      }
+      .toDF("clip_id", "frame_idx", "token")
+  }
+
+  /** Audio shingling as a cross-engine ★ check: frame count + DISTINCT
+    * k-gram count per decodable clip with ≥ 1 frame. The decode/framing
+    * kernel is pinned by the `_audio_frame_tokens` dump; the DuckDB oracle
+    * recomputes both counts independently (windowed list k-grams + DISTINCT
+    * over list values), so a hash match verifies the shingle-set
+    * construction ([[graft.kernel.Shingles.longShingles]]: `min(k, n)`-gram
+    * windows, deduplicated). Caveat: this side counts distinct 64-bit
+    * shingle HASHES, the oracle distinct GRAMS — equal unless the hash
+    * collides (~1e-10 at this scale, and deterministic per dataset). */
+  private def audioShingleCounts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val c = conf
+    clips(spark)
+      .select(col("clip_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try {
+          val toks = AudioFeatures.frameTokens(WavCodec.decode(bytes).samples)
+          if (toks.isEmpty) Iterator.empty
+          else Iterator.single((id, toks.length.toLong,
+            Shingles.longShingles(toks, c.audioShingleK, c.seed).length.toLong))
+        } catch { case _: IllegalArgumentException => Iterator.empty }
+      }
+      .toDF("clip_id", "n_frames", "n_shingles")
+      .orderBy(col("clip_id"))
+  }
+
+  private def audioShingleCountsDuckSql: String = {
+    val k = conf.audioShingleK
+    s"""WITH f AS (SELECT clip_id, frame_idx, token
+       |  FROM read_parquet('{GRAFT_OUT}/_audio_frame_tokens/*.parquet')),
+       |n AS (SELECT clip_id, count(*) AS n_frames FROM f GROUP BY 1),
+       |w AS (SELECT clip_id, frame_idx,
+       |    list(token) OVER (PARTITION BY clip_id ORDER BY frame_idx
+       |      ROWS BETWEEN CURRENT ROW AND ${k - 1} FOLLOWING) AS gram
+       |  FROM f),
+       |v AS (SELECT w.clip_id, w.gram FROM w JOIN n ON w.clip_id = n.clip_id
+       |  WHERE w.frame_idx <= n.n_frames - least($k, n.n_frames)),
+       |s AS (SELECT clip_id, count(DISTINCT gram) AS n_shingles FROM v GROUP BY 1)
+       |SELECT n.clip_id, n.n_frames, s.n_shingles
+       |FROM n JOIN s ON n.clip_id = s.clip_id ORDER BY 1""".stripMargin
+  }
+
   /** P1/P2 expanding Hamming-ball probe masks at bits=16, maxDist=2 —
     * deterministic combinatorial output WITH a DuckDB oracle (the one kernel
     * whose semantics ANSI SQL can reproduce exactly). */
@@ -181,6 +240,7 @@ object ClipQueries {
     "q_clip_signatures" -> ((s, _) => signatures(s)),
     "q_audio_stats" -> ((s, _) => audioStats(s)),
     "q_audio_bands" -> ((s, _) => audioBands(s)),
+    "q_audio_shingle_counts" -> ((s, _) => audioShingleCounts(s)),
     "q_probe_masks" -> ((s, _) => probeMasks(s))
   )
 
@@ -192,6 +252,7 @@ object ClipQueries {
   val oracleSql: Map[String, String] = Map(
     "q_probe_masks" -> probeMasksDuckSql,
     "q_dedup_clusters" -> clustersDuckSql,
-    "q_dedup_cluster_sizes" -> clusterSizesDuckSql
+    "q_dedup_cluster_sizes" -> clusterSizesDuckSql,
+    "q_audio_shingle_counts" -> audioShingleCountsDuckSql
   )
 }

@@ -101,6 +101,65 @@ object KernelQueries {
       .orderBy($"vec_id")
   }
 
+  /** The H2 rotation matrix as rows — dumped by [[graft.Verify]] as the
+    * `_rotation_matrix` oracle input (same construction as
+    * [[rotationCodes]]: deterministic in the seed, input-independent). */
+  def rotationMatrixDump(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val m = RandomRotationHash(CodeBits, Dim, seed ^ 0x2072L).matrix
+    (for (b <- 0 until CodeBits; j <- 0 until Dim)
+      yield (b.toLong, j.toLong, m(b * Dim + j).toDouble))
+      .toDF("bit", "dim_idx", "w")
+  }
+
+  /** The fitted T4 PCA basis (principal-component rows) — dumped by
+    * [[graft.Verify]] as the `_pca_basis` oracle input. */
+  def pcaBasisDump(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = PcaTransformer.fit(fitSample(spark, dir), PcaDims).basis
+    (for (c <- 0 until PcaDims; j <- 0 until Dim)
+      yield (c.toLong, j.toLong, w(c)(j)))
+      .toDF("pc_idx", "dim_idx", "w")
+  }
+
+  /** H2 orthonormality as a cross-engine ★ check: this side emits the exact
+    * identity Gram; the DuckDB oracle independently computes
+    * `floor(|row_i · row_j|·1e6 + 0.5)` from the dumped `_rotation_matrix`.
+    * A hash match therefore PROVES the published matrix is orthonormal to
+    * 1e-6 (float storage bounds the true Gram error at ~1e-7, so the
+    * rounding never flips; `UnitTests.cpp:420-473` exercises the same
+    * property in-process). */
+  private def rotationOrtho(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (i <- 0 until CodeBits; j <- i until CodeBits)
+      yield (i.toLong, j.toLong, if (i == j) 1000000L else 0L))
+      .toDF("i", "j", "gram_x1e6")
+      .orderBy($"i", $"j")
+  }
+
+  /** T4 eigenbasis orthonormality, same template over `_pca_basis` (Jacobi
+    * rotations preserve orthonormality to machine precision — all-double
+    * path, tighter than H2's float storage). */
+  private def pcaOrtho(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (i <- 0 until PcaDims; j <- i until PcaDims)
+      yield (i.toLong, j.toLong, if (i == j) 1000000L else 0L))
+      .toDF("i", "j", "gram_x1e6")
+      .orderBy($"i", $"j")
+  }
+
+  /** T4 eigenvalue ordering as a cross-engine ★ check: components must come
+    * out in DESCENDING projected-variance order (fit takes the top
+    * `PcaDims` eigenvalues — `PCATransformer.h:30-53`'s sort). This side
+    * emits rank = pc_idx; the oracle ranks `var_pop` per component computed
+    * from the dumped `q_pca_embed` output itself. */
+  private def pcaVarianceOrder(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until PcaDims).map(i => (i.toLong, i.toLong))
+      .toDF("pc_idx", "variance_rank")
+      .orderBy($"pc_idx")
+  }
+
   /** O4: golden = brute-force pairwise Jaccard ≥ 0.3 over the first
     * `BoostSample` docs' shingle sets (driver-side ground truth); pool =
     * seed-derived candidate band seeds; greedy boosted selection of
@@ -200,12 +259,42 @@ object KernelQueries {
     "q_pca_embed" -> ((s, d) => pcaEmbed(s, d)),
     "q_dhhash_codes" -> ((s, d) => dhhashCodes(s, d)),
     "q_rotation_codes" -> ((s, d) => rotationCodes(s, d)),
+    "q_rotation_ortho" -> ((s, _) => rotationOrtho(s)),
+    "q_pca_ortho" -> ((s, _) => pcaOrtho(s)),
+    "q_pca_variance_order" -> ((s, _) => pcaVarianceOrder(s)),
     "q_hashboost_tables" -> ((s, d) => hashboostTables(s, d)),
     "q_rdhf_tables" -> ((s, d) => rdhfTables(s, d)),
     "q_ardhf_tables" -> ((s, d) => ardhfTables(s, d))
   )
 
-  /** Not ANSI-SQL-expressible (iterative eigen / FWHT / boosting loop) —
-    * rows-only at the driver; kernel oracles live in sbt test. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** The iterative kernels themselves (Jacobi eigen / Gram–Schmidt / FWHT /
+    * boosting loop) are not ANSI-SQL-expressible — their code/embedding
+    * queries stay rows-only with kernel oracles in sbt test. Their defining
+    * PROPERTIES are, via the `_`-dump pattern (_cc_edges precedent): DuckDB
+    * independently recomputes the Gram of the dumped matrices and the
+    * projected-variance ranking of the dumped embedding, and the driver
+    * hash-matches it against the exact expected values emitted Spark-side. */
+  val oracleSql: Map[String, String] = Map(
+    "q_rotation_ortho" ->
+      s"""SELECT a.bit AS i, b.bit AS j,
+         |  CAST(floor(abs(sum(a.w * b.w)) * 1e6 + 0.5) AS BIGINT) AS gram_x1e6
+         |FROM read_parquet('{GRAFT_OUT}/_rotation_matrix/*.parquet') a
+         |JOIN read_parquet('{GRAFT_OUT}/_rotation_matrix/*.parquet') b
+         |  ON a.dim_idx = b.dim_idx AND a.bit <= b.bit
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pca_ortho" ->
+      s"""SELECT a.pc_idx AS i, b.pc_idx AS j,
+         |  CAST(floor(abs(sum(a.w * b.w)) * 1e6 + 0.5) AS BIGINT) AS gram_x1e6
+         |FROM read_parquet('{GRAFT_OUT}/_pca_basis/*.parquet') a
+         |JOIN read_parquet('{GRAFT_OUT}/_pca_basis/*.parquet') b
+         |  ON a.dim_idx = b.dim_idx AND a.pc_idx <= b.pc_idx
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pca_variance_order" ->
+      s"""WITH v AS (
+         |  SELECT pc_idx, var_pop(pc_x1e6) AS s
+         |  FROM read_parquet('{GRAFT_OUT}/q_pca_embed/*.parquet') GROUP BY 1)
+         |SELECT pc_idx,
+         |  CAST(row_number() OVER (ORDER BY s DESC) - 1 AS BIGINT) AS variance_rank
+         |FROM v ORDER BY pc_idx""".stripMargin
+  )
 }

@@ -76,4 +76,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.length > 0)
     assert(rows.map(_.getString(0)).distinct.length === rows.length)
   }
+
+  test("q_audio_shingle_counts agrees with q_audio_stats per decodable clip") {
+    val stats = SparkEntry.queries("q_audio_stats")(spark, sf).collect()
+      .filter(r => r.getAs[Boolean]("decode_ok") && r.getAs[Long]("n_frames") > 0)
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_frames"), r.getAs[Long]("n_shingles")))
+      .toMap
+    val counts = SparkEntry.queries("q_audio_shingle_counts")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_frames"), r.getAs[Long]("n_shingles")))
+      .toMap
+    assert(counts === stats)
+  }
+
+  test("q_pca_variance_order's emitted ranks match the projected variances") {
+    // the DuckDB oracle recomputes this from the dumped q_pca_embed; pin the
+    // same property in-process so a variance-order regression fails in sbt
+    import org.apache.spark.sql.functions._
+    val ranks = SparkEntry.queries("q_pca_embed")(spark, sf)
+      .groupBy("pc_idx").agg(var_pop(col("pc_x1e6")).as("s"))
+      .collect().map(r => (r.getAs[Long]("pc_idx"), r.getAs[Double]("s")))
+      .sortBy(-_._2).zipWithIndex.map { case ((pc, _), rank) => pc -> rank.toLong }
+      .toMap
+    val emitted = SparkEntry.queries("q_pca_variance_order")(spark, sf).collect()
+      .map(r => r.getAs[Long]("pc_idx") -> r.getAs[Long]("variance_rank")).toMap
+    assert(emitted === ranks)
+  }
+
+  test("gram oracles emit exact identities over the full upper triangle") {
+    val rot = SparkEntry.queries("q_rotation_ortho")(spark, sf).collect()
+    assert(rot.length === KernelQueries.CodeBits * (KernelQueries.CodeBits + 1) / 2)
+    rot.foreach { r =>
+      val (i, j, g) = (r.getAs[Long]("i"), r.getAs[Long]("j"), r.getAs[Long]("gram_x1e6"))
+      assert(g === (if (i == j) 1000000L else 0L))
+    }
+    val pca = SparkEntry.queries("q_pca_ortho")(spark, sf).collect()
+    assert(pca.length === KernelQueries.PcaDims * (KernelQueries.PcaDims + 1) / 2)
+  }
 }
