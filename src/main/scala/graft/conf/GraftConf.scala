@@ -50,7 +50,17 @@ final case class GraftConf(
     // connected components
     maxCcIterations: Int = 50,
     // checkpointing
-    checkpointDir: Option[String] = None
+    checkpointDir: Option[String] = None,
+    // Shuffle diet: band/candidate stages shuffle Long SURROGATE ids
+    // (xxhash64 of clip_id) instead of the id strings; strings are restored
+    // inside the verify join (which carries them anyway), so accepted edges
+    // and the CC loop keep native string labels (Components' collision-free
+    // labeling argument is untouched). Surrogate collisions only ever ADD
+    // candidate pairs, which exact verification rejects — except a 2^-64
+    // same-pair collision (a dup pair whose two members hash equal is
+    // dropped by the a<b predicate), the same accepted probability class as
+    // the CC fingerprint early-stop. See DedupPipeline.
+    surrogateIds: Boolean = false
 ) {
   def textNumPerm: Int = textBands * textRows
   def audioNumPerm: Int = audioBands * audioRows

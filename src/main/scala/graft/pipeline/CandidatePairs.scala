@@ -1,10 +1,11 @@
 package graft.pipeline
 
 import graft.conf.GraftConf
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
 
 /** Band shuffle → candidate pairs (reference operators B1/B2 + Q4).
   *
@@ -16,6 +17,12 @@ import scala.collection.mutable.ArrayBuffer
   * family-salted upstream, so the group key is a single primitive Long;
   * family provenance travels as the `src` bit ([[Signatures.SrcText]] etc.)
   * and pairs aggregate it with `bit_or`.
+  *
+  * Ids are generic over the member-id type: the pipeline shuffles Long
+  * SURROGATE ids (xxhash64 of the clip_id — see [[DedupPipeline]]'s diet
+  * note) while standalone callers (HashBooster, PairStats, specs) keep
+  * native String ids; the pair semantics (sorted-distinct members, chain
+  * order) follow the id type's ordering either way.
   *
   * Skew (the 10^12-scale hazard the single-node reference never faced): a
   * bucket of size s emits O(s²) pairs; a hot key (e.g. empty-transcript
@@ -40,11 +47,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CandidatePairs {
 
-  /** bands: (band_key: Long, src: Int, clip_id: String) →
+  /** bands: (band_key: Long, src: Int, clip_id: String | Long) →
     * RAW pair stream (a, b, sources: Int bitmask, capped) with a < b; NOT
     * deduplicated across buckets — the caller's final groupBy(a, b)
     * (DedupPipeline's candidates stage) is the single dedup shuffle for all
-    * candidate streams.
+    * candidate streams. The id column's type picks the specialization.
     *
     * Provenance caveat (documented approximation — ACCEPTED EDGES are
     * unaffected, verification is exact): `sources` is the OR of every
@@ -55,15 +62,30 @@ object CandidatePairs {
     * not exact attribution. */
   def fromBands(spark: SparkSession, bands: DataFrame, conf: GraftConf): DataFrame = {
     import spark.implicits._
+    bands.schema("clip_id").dataType match {
+      case StringType =>
+        fromBandsTyped[String](bands.select($"band_key", $"src", $"clip_id")
+          .as[(Long, Int, String)], conf)
+      case LongType =>
+        fromBandsTyped[Long](bands.select($"band_key", $"src", $"clip_id")
+          .as[(Long, Int, Long)], conf)
+      case other => throw new IllegalArgumentException(s"clip_id type: $other")
+    }
+  }
+
+  private def fromBandsTyped[T: Ordering: ClassTag](
+      bands: Dataset[(Long, Int, T)], conf: GraftConf)(
+      implicit keyEnc: org.apache.spark.sql.Encoder[Long],
+      pairEnc: org.apache.spark.sql.Encoder[(T, T, Int, Boolean)]): DataFrame = {
+    val ord = implicitly[Ordering[T]]
+    import ord.mkOrderingOps
     val cap = conf.bucketCap
     val width = conf.chainWidth
     val hardStop = conf.bucketHardStop
     bands
-      .select($"band_key", $"src", $"clip_id")
-      .as[(Long, Int, String)]
       .groupByKey(_._1)
-      .flatMapGroups { (_: Long, rows: Iterator[(Long, Int, String)]) =>
-        val ids = new ArrayBuffer[String]()
+      .flatMapGroups { (_: Long, rows: Iterator[(Long, Int, T)]) =>
+        val ids = new ArrayBuffer[T]()
         var src = 0
         while (rows.hasNext && ids.length < hardStop) {
           val r = rows.next()
@@ -73,7 +95,7 @@ object CandidatePairs {
         if (ids.length < 2) Iterator.empty // hardStop ≥ 2 ⇒ group exhausted
         else {
           val sorted = ids.distinct.sorted
-          val head: Iterator[(String, String, Int, Boolean)] =
+          val head: Iterator[(T, T, Int, Boolean)] =
             if (sorted.length < 2) Iterator.empty
             else if (sorted.length <= cap) {
               for {
@@ -87,7 +109,7 @@ object CandidatePairs {
                 if i + d < sorted.length
               } yield (sorted(i), sorted(i + d), src, true)
             }
-          val tail: Iterator[(String, String, Int, Boolean)] =
+          val tail: Iterator[(T, T, Int, Boolean)] =
             if (!rows.hasNext) Iterator.empty
             else {
               // streaming overflow chain (see class doc): ring buffer of the
@@ -100,10 +122,10 @@ object CandidatePairs {
               // per-pair mask stays diagnostic either way (class doc);
               // freezing just removes one gratuitous nondeterminism axis.
               val overflowSrc = src
-              val window = new Array[String](width)
+              val window = new Array[T](width)
               var filled = 0
               var pos = 0
-              def push(x: String): Unit = {
+              def push(x: T): Unit = {
                 window(pos) = x
                 pos = (pos + 1) % width
                 if (filled < width) filled += 1
@@ -111,7 +133,7 @@ object CandidatePairs {
               sorted.takeRight(width).foreach(push)
               rows.flatMap { r =>
                 val x = r._3
-                val out = new ArrayBuffer[(String, String, Int, Boolean)](filled)
+                val out = new ArrayBuffer[(T, T, Int, Boolean)](filled)
                 var k = 0
                 while (k < filled) {
                   val w = window(k)

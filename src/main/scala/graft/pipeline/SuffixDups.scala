@@ -2,8 +2,11 @@ package graft.pipeline
 
 import graft.conf.GraftConf
 import graft.kernel.Hashing
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import scala.reflect.ClassTag
 
 /** Exact-substring duplicate pass: finds pairs (a, b) where a's full token
   * sequence appears verbatim inside b's — duplicates MinHash misses because
@@ -54,15 +57,35 @@ object SuffixDups {
 
   /** Same candidate stream, fed with precomputed ordered token hashes
     * (clip_id, toks_h) — identical windows/pairs because the window hash
-    * folds exactly these per-token hashes. */
+    * folds exactly these per-token hashes. Generic over the id type like
+    * [[CandidatePairs.fromBands]]: the pipeline passes Long surrogate ids,
+    * standalone callers native Strings. */
   def candidatesFromTokenHashes(spark: SparkSession, tokens: DataFrame,
       conf: GraftConf): DataFrame = {
     import spark.implicits._
+    tokens.schema("clip_id").dataType match {
+      case StringType =>
+        candidatesTyped[String](spark,
+          tokens.select($"clip_id", $"toks_h").as[(String, Array[Long])], conf)
+      case LongType =>
+        candidatesTyped[Long](spark,
+          tokens.select($"clip_id", $"toks_h").as[(Long, Array[Long])], conf)
+      case other => throw new IllegalArgumentException(s"clip_id type: $other")
+    }
+  }
+
+  private def candidatesTyped[T: Ordering: ClassTag](spark: SparkSession,
+      tokens: Dataset[(T, Array[Long])], conf: GraftConf)(
+      implicit keyEnc: org.apache.spark.sql.Encoder[Long],
+      tagEnc: org.apache.spark.sql.Encoder[(Long, T, Boolean)],
+      pairEnc: org.apache.spark.sql.Encoder[(T, T, Boolean)]): DataFrame = {
+    val ord = implicitly[Ordering[T]]
+    import ord.mkOrderingOps
     val w = conf.substringWindow
     val seed = conf.seed
 
     // one pass: every W-token window (distinct per doc), first window flagged
-    val tagged = tokens.select($"clip_id", $"toks_h").as[(String, Array[Long])]
+    val tagged = tokens
       .flatMap { case (id, toksH) =>
         if (toksH == null || toksH.length < w) Iterator.empty
         else {
@@ -77,7 +100,7 @@ object SuffixDups {
             if (prev == null || (!prev && isSeed)) seen.put(h, isSeed)
             i += 1
           }
-          val out = Vector.newBuilder[(Long, String, Boolean)]
+          val out = Vector.newBuilder[(Long, T, Boolean)]
           seen.forEach((h, s) => out += ((h.longValue, id, s.booleanValue)))
           out.result().iterator
         }
@@ -110,8 +133,8 @@ object SuffixDups {
     val hardStop = conf.bucketHardStop
     val pairs = tagged
       .groupByKey(_._1)
-      .flatMapGroups { (_: Long, rows: Iterator[(Long, String, Boolean)]) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+      .flatMapGroups { (_: Long, rows: Iterator[(Long, T, Boolean)]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(T, Boolean)]()
         while (rows.hasNext && buf.length < hardStop) {
           val r = rows.next()
           buf += ((r._2, r._3))
@@ -121,7 +144,7 @@ object SuffixDups {
         if (members.length < 2 && !overflowing) Iterator.empty
         else {
           var seedBudget = SeedProbeLimit
-          val head: Iterator[(String, String, Boolean)] =
+          val head: Iterator[(T, T, Boolean)] =
             if (members.length < 2) Iterator.empty
             else if (members.length <= cap && !overflowing) {
               for {
@@ -146,14 +169,14 @@ object SuffixDups {
               seedBudget -= math.min(SeedProbeLimit, members.count(_._2))
               chain ++ probes
             }
-          val tail: Iterator[(String, String, Boolean)] =
+          val tail: Iterator[(T, T, Boolean)] =
             if (!overflowing) Iterator.empty
             else {
               val probeTargets = members.iterator.take(cap).map(_._1).toArray
-              val window = new Array[String](width)
+              val window = new Array[T](width)
               var filled = 0
               var pos = 0
-              def push(x: String): Unit = {
+              def push(x: T): Unit = {
                 window(pos) = x
                 pos = (pos + 1) % width
                 if (filled < width) filled += 1
@@ -162,7 +185,7 @@ object SuffixDups {
               rows.flatMap { r =>
                 val x = r._2
                 val isSeed = r._3
-                val out = new scala.collection.mutable.ArrayBuffer[(String, String, Boolean)](filled)
+                val out = new scala.collection.mutable.ArrayBuffer[(T, T, Boolean)](filled)
                 var k = 0
                 while (k < filled) {
                   val wv = window(k)
@@ -191,6 +214,6 @@ object SuffixDups {
     // candidate streams in one shuffle
     pairs.toDF("a", "b", "capped")
       .withColumn("sources", lit(Signatures.SrcSubstring))
-      .select($"a", $"b", $"sources", $"capped")
+      .select(col("a"), col("b"), col("sources"), col("capped"))
   }
 }

@@ -24,7 +24,9 @@ object StageBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val conf = GraftConf()
+    // GRAFT_SURROGATE_IDS=1: measure the Long-surrogate shuffle diet
+    val conf = GraftConf(
+      surrogateIds = sys.env.get("GRAFT_SURROGATE_IDS").contains("1"))
 
     def cpuNanos: Long =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -61,9 +63,12 @@ object StageBench {
       s
     }
 
+    // mirror DedupPipeline's shuffle diet when GRAFT_SURROGATE_IDS=1
+    val idCol = if (conf.surrogateIds) xxhash64($"clip_id") else $"clip_id"
+
     val bands = time("bands") {
       val b = signatures
-        .select($"clip_id", explode(arrays_zip($"band_keys", $"band_srcs")).as("z"))
+        .select(idCol.as("clip_id"), explode(arrays_zip($"band_keys", $"band_srcs")).as("z"))
         .select($"z.band_keys".as("band_key"), $"z.band_srcs".as("src"), $"clip_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
       b.count()
@@ -77,7 +82,10 @@ object StageBench {
     }
 
     val candSuffix = time("cand_suffix") {
-      val c = SuffixDups.candidates(spark, clips, conf).persist(StorageLevel.MEMORY_AND_DISK)
+      // the pipeline's form: signature-cached token hashes, diet-keyed
+      val c = SuffixDups.candidatesFromTokenHashes(spark,
+        signatures.select(idCol.as("clip_id"), $"toks_h"), conf)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       c.count()
       c
     }

@@ -236,4 +236,24 @@ class PipelineSpec extends AnyFunSuite {
     val r3 = DedupPipeline.run(spark, df, ckptConf, inputSig = "t120-v2")
     assert(r3.stages.forall(!_.resumed))
   }
+
+  test("surrogate-id shuffle diet reproduces identical edges and clusters") {
+    // Long xxhash64 surrogates ride the band/candidate shuffles; strings
+    // are restored in the verify join — accepted edge set and clusters
+    // must be IDENTICAL to the string-id path (collisions could only add
+    // verify-rejected candidates, and none exist at this scale)
+    val base = DedupPipeline.run(spark, clipsDf, conf)
+    val diet = DedupPipeline.run(spark, clipsDf, conf.copy(surrogateIds = true))
+    def edgeSet(r: DedupPipeline.Result): Set[(String, String)] =
+      r.edges.filter(col("accepted")).select("a", "b")
+        .as[(String, String)].collect().toSet
+    def clusterMap(r: DedupPipeline.Result): Map[String, String] =
+      r.clusters.as[(String, String)].collect().toMap
+    val (be, de) = (edgeSet(base), edgeSet(diet))
+    assert(de === be)
+    // restored pairs stay canonically ordered on the STRING ids
+    de.foreach { case (a, b) => assert(a < b, s"($a,$b)") }
+    assert(clusterMap(diet) === clusterMap(base))
+    base.cleanup(); diet.cleanup()
+  }
 }
