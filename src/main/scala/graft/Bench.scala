@@ -280,7 +280,11 @@ object Bench {
       scratchKind = scratchKind,
       sfDir = sfDir,
       meta = BenchReport.Meta(startedUtc, elapsed, budgetSec, phase, nReq, nClips,
-        earlyN, reps, pairsDone = times.count(!_.early) / 2, protocol = "r5-compact"),
+        earlyN, reps, pairsDone = times.count(!_.early) / 2,
+        // "+indexdir" marks runs exercising CodesCache's production parquet
+        // spill path (GRAFT_INDEX_DIR) instead of localCheckpoint blocks
+        protocol = "r5-compact" +
+          (if (sys.env.contains("GRAFT_INDEX_DIR")) "+indexdir" else "")),
       committedSource =
         fullRun.map(_ => sys.env.getOrElse("GRAFT_BENCH_FULL_JSON", "BENCH_FULL.json")),
       committedJson = fullRun,

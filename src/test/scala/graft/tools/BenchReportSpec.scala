@@ -49,7 +49,9 @@ class BenchReportSpec extends AnyFunSuite {
       extraPairs = 2, heapPerCoreGb = 3, scratchKind = "tmpfs",
       sfDir = "/root/testdata/sf0.1",
       meta = BenchReport.Meta("2026-08-18T10:29:08.009476893Z", 3153.2, 5400.0,
-        "parity-retry", 800000, 800000, 150000, 3, 3, "r5-compact"),
+        // longest protocol string Bench can emit (the GRAFT_INDEX_DIR
+        // marker) so the budget is pinned at the true maximum shape
+        "parity-retry", 800000, 800000, 150000, 3, 3, "r5-compact+indexdir"),
       committedSource = Some("BENCH_FULL.json"), committedJson = Some(committed),
       partial = true)
   }
@@ -60,7 +62,7 @@ class BenchReportSpec extends AnyFunSuite {
       s"compact line ${line.length} chars > ${BenchReport.MaxCompactChars}")
     val node = parse(line)
     assert(node.get("dedup_scaling").get("scaling_efficiency").asDouble() > 0.9)
-    assert(node.get("meta").get("protocol").asText() == "r5-compact")
+    assert(node.get("meta").get("protocol").asText() == "r5-compact+indexdir")
     // full detail is referenced, not embedded
     assert(node.get("committed_full_run") == null)
     assert(node.get("committed_full_run_source").asText() == "BENCH_FULL.json")
