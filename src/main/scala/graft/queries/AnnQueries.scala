@@ -21,7 +21,13 @@ import CrossSql._
   *      Q1/Q2's `bucket[hashCode ^ mask]` lookups
   *      (`/root/reference/hashIndex/StdHashIndex.h:129-157`) as a shuffled
   *      hash join instead of a pairwise theta-join. Candidates from all
-  *      bands union via DISTINCT (Q4, `HashCollection.h:196-210`).
+  *      bands union via DISTINCT (Q4, `HashCollection.h:196-210`; the
+  *      reference accumulates per-table candidates in a round-robin
+  *      interleave there — LshForestSpec's "Q4 depth-major round-robin"
+  *      set-equivalence argument covers this non-forest union too, since
+  *      unbudgeted per-table candidate SETS are interleave-order-invariant
+  *      and the budgeted gather is truncated in the same expanding-distance
+  *      order the interleave visits).
   *      Completeness: a pair within global Hamming distance [[ProbeRadius]]
   *      must agree within [[BandRadius]] on ≥1 band (pigeonhole:
   *      4 bands all differing by ≥2 ⇒ total ≥ 8 > 6), so the probe join
